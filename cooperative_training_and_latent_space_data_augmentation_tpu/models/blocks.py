@@ -1,0 +1,176 @@
+"""Residual conv building blocks (flax.linen, NHWC).
+
+TPU-native re-design of the reference's ``medseg/models/ebm/encoder_decoder.py``
+building blocks:
+
+  * ``ResConvDown``  <- res_convdown (encoder_decoder.py:19-68): stride-2 3x3
+    conv downsample -> residual [conv3-BN-LeakyReLU(0.2)-conv3-BN] with a 1x1
+    conv shortcut -> LeakyReLU(0.2), optional channel dropout.
+  * ``ResUp``        <- res_up_family (encoder_decoder.py:285-348): upsample
+    (NN / bilinear / transposed-conv k2s2 "Conv2" / k4s2p1 "Conv4") followed by
+    the same residual pattern.
+  * ``ConvBlock``    <- the "inc" double conv (encoder_decoder.py:370-378).
+
+Differences by design (not omissions):
+  * NHWC layout (TPU conv-native) instead of NCHW.
+  * Norm state is functional: BatchNorm running stats live in the
+    ``batch_stats`` collection; callers choose whether to merge updates back,
+    which subsumes the reference's ``_disable_tracking_bn_stats`` context
+    manager (medseg/models/model_util.py:414-451).
+  * Spectral norm (`if_SN`) is not carried over: it is dead in every active
+    reference config (`if_SN=False` at advanced_triplet_recon_segmentation_model.py:93-106).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Torch BatchNorm2d defaults: momentum=0.1 (i.e. flax momentum 0.9), eps=1e-5.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+conv_kernel_init = nn.initializers.he_normal()  # reference init_weights(init_type='kaiming')
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    """BN scale init: normal(mean=1.0, std=0.02) like the reference's
+    init_weights (medseg/models/init_weight.py, 'kaiming' branch)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d equivalent over the channel (last) axis of NHWC tensors.
+
+    ``use_running_average=True``  -> eval mode (torch .eval()).
+    ``use_running_average=False`` -> train mode: normalizes with batch stats
+    and *emits* updated running stats into the mutable ``batch_stats``
+    collection.  Freezing stats (= the reference's
+    ``_disable_tracking_bn_stats``) is done by the caller simply discarding
+    the emitted updates.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            scale_init=bn_scale_init,
+            dtype=x.dtype,
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Double conv: conv3-BN-LeakyReLU(0.2)-conv3-BN (no trailing act).
+
+    Mirrors MyEncoder.inc (encoder_decoder.py:370-378); the caller applies
+    LeakyReLU afterwards exactly like the reference's forward
+    (encoder_decoder.py:404-405).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                    dtype=x.dtype)(x)
+        x = BatchNorm()(x, use_running_average=not train)
+        x = leaky_relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                    dtype=x.dtype)(x)
+        x = BatchNorm()(x, use_running_average=not train)
+        return x
+
+
+class _ResCore(nn.Module):
+    """Shared residual core: LeakyReLU(conv1x1(x) + [conv3-BN-LReLU-conv3-BN](x))."""
+
+    features: int
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = nn.Conv(self.features, (1, 1), kernel_init=conv_kernel_init,
+                           dtype=x.dtype)(x)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                    dtype=x.dtype)(x)
+        h = BatchNorm()(h, use_running_average=not train)
+        h = leaky_relu(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                    dtype=x.dtype)(h)
+        h = BatchNorm()(h, use_running_average=not train)
+        out = leaky_relu(shortcut + h)
+        if self.dropout is not None and self.dropout > 0:
+            # Channel dropout (torch nn.Dropout2d): drop whole feature maps.
+            out = nn.Dropout(
+                rate=self.dropout,
+                broadcast_dims=(1, 2),  # share mask over H, W
+                deterministic=not train,
+            )(out)
+        return out
+
+
+class ResConvDown(nn.Module):
+    """Stride-2 downsample + residual block (res_convdown, encoder_decoder.py:19-68)."""
+
+    features: int
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # torch Conv2d(in, in, 3, stride=2, padding=1): for even inputs this
+        # takes pixels at odd offsets; SAME padding with stride 2 matches the
+        # output size (H/2) for even H.
+        x = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+        return _ResCore(self.features, self.dropout)(x, train)
+
+
+def upsample_nearest(x, factor: int = 2):
+    n, h, w, c = x.shape
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def upsample_bilinear(x, factor: int = 2):
+    n, h, w, c = x.shape
+    # align_corners=True to mirror torch nn.UpsamplingBilinear2d.
+    return jax.image.resize(x, (n, h * factor, w * factor, c), method="bilinear")
+
+
+class ResUp(nn.Module):
+    """Upsample + residual block (res_up_family, encoder_decoder.py:285-348).
+
+    ``up_type``: 'NN' | 'bilinear' | 'Conv2' (transposed conv k2s2) |
+    'Conv4' (transposed conv k4s2p1).
+    """
+
+    features: int
+    up_type: str = "NN"
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_ch = x.shape[-1]
+        if self.up_type == "NN":
+            x = upsample_nearest(x)
+        elif self.up_type == "bilinear":
+            x = upsample_bilinear(x)
+        elif self.up_type == "Conv2":
+            x = nn.ConvTranspose(in_ch, (2, 2), strides=(2, 2),
+                                 kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+        elif self.up_type == "Conv4":
+            x = nn.ConvTranspose(in_ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                                 kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+        else:
+            raise NotImplementedError(f"unknown up_type {self.up_type!r}")
+        return _ResCore(self.features, self.dropout)(x, train)

@@ -1,0 +1,140 @@
+"""FTN/STN encoder & decoder networks (flax.linen, NHWC).
+
+TPU-native re-design of ``medseg/models/ebm/encoder_decoder.py``:
+
+  * ``Encoder``          <- MyEncoder (:351-415): inc double-conv(64/f) ->
+    LeakyReLU -> 4x ResConvDown (128/f, 256/f, 512/f, 512/f) -> 1x1 conv + BN
+    -> activation.  192x192 input -> 12x12 latent (4 downsamplings),
+    512//f latent channels.
+  * ``Decoder``          <- MyDecoder (:418-453): 4x ResUp
+    (in -> 256/f -> 128/f -> 64/f -> 64/f) -> 1x1 conv -> optional last act.
+    NO skip connections — decoding must depend only on the (maskable) latent.
+  * ``DualBranchEncoder`` <- Dual_Branch_Encoder (:456-503): general encoder
+    -> z_i; code decoupler [conv3-BN-LReLU-conv3-BN-ReLU] -> z_s = filter(z_i).
+
+The default plan (``feature_reduce=4``, "FCN_16_standard",
+advanced_triplet_recon_segmentation_model.py:86-106) gives channel widths
+16/32/64/128/128 and 128-channel latents at 12x12 for 192x192 inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks import (
+    BatchNorm,
+    ConvBlock,
+    ResConvDown,
+    ResUp,
+    conv_kernel_init,
+    leaky_relu,
+)
+
+_ACTS = {
+    "relu": nn.relu,
+    "sigmoid": nn.sigmoid,
+    "none": None,
+    None: None,
+}
+
+
+class Encoder(nn.Module):
+    """Skip-free conv encoder (MyEncoder).
+
+    ``act``: final activation over the latent — the FTN/STN encoders use ReLU
+    (advanced_triplet_recon_segmentation_model.py:93-95,103-104).
+    """
+
+    feature_reduce: int = 4
+    act: Optional[str] = "relu"
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_reduce
+        x1 = ConvBlock(64 // f)(x, train)
+        x1 = leaky_relu(x1)
+        x2 = ResConvDown(128 // f, self.dropout)(x1, train)
+        x3 = ResConvDown(256 // f, self.dropout)(x2, train)
+        x4 = ResConvDown(512 // f, self.dropout)(x3, train)
+        x5 = ResConvDown(512 // f, self.dropout)(x4, train)
+        x5 = nn.Conv(512 // f, (1, 1), kernel_init=conv_kernel_init, dtype=x5.dtype)(x5)
+        x5 = BatchNorm()(x5, use_running_average=not train)
+        act = _ACTS[self.act]
+        if act is not None:
+            x5 = act(x5)
+        return x5
+
+
+class Decoder(nn.Module):
+    """Skip-free conv decoder (MyDecoder).
+
+    ``up_type``: 'NN' for segmentation/shape decoders (logit output), 'Conv2'
+    + sigmoid last act for the image decoder
+    (advanced_triplet_recon_segmentation_model.py:96-106).
+    """
+
+    output_channel: int
+    feature_reduce: int = 4
+    up_type: str = "NN"
+    last_act: Optional[str] = None
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        f = self.feature_reduce
+        x = ResUp(256 // f, self.up_type, self.dropout)(z, train)
+        x = ResUp(128 // f, self.up_type, self.dropout)(x, train)
+        x = ResUp(64 // f, self.up_type, self.dropout)(x, train)
+        x = ResUp(64 // f, self.up_type, self.dropout)(x, train)
+        x = nn.Conv(self.output_channel, (1, 1), kernel_init=conv_kernel_init,
+                    dtype=x.dtype)(x)
+        act = _ACTS[self.last_act]
+        if act is not None:
+            x = act(x)
+        return x
+
+
+class CodeDecoupler(nn.Module):
+    """z_i -> z_s filter: conv3-BN-LReLU-conv3-BN-ReLU (Dual_Branch_Encoder.code_decoupler)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                    dtype=z.dtype)(z)
+        h = BatchNorm()(h, use_running_average=not train)
+        h = leaky_relu(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                    dtype=h.dtype)(h)
+        h = BatchNorm()(h, use_running_average=not train)
+        return nn.relu(h)
+
+
+class DualBranchEncoder(nn.Module):
+    """FTN encoder producing (z_i, z_s) (Dual_Branch_Encoder, :456-503)."""
+
+    feature_reduce: int = 4
+    dropout: Optional[float] = None
+
+    def setup(self):
+        f = self.feature_reduce
+        self.general_encoder = Encoder(feature_reduce=f, act="relu", dropout=self.dropout)
+        self.code_decoupler = CodeDecoupler(features=512 // f)
+
+    def __call__(self, x, train: bool = False):
+        z_i = self.general_encoder(x, train)
+        z_s = self.code_decoupler(z_i, train)
+        return z_i, z_s
+
+    def filter_code(self, z_i, train: bool = False):
+        """z_i -> z_s only (used by decode_segmentation_from_image_code,
+        advanced_triplet_recon_segmentation_model.py:208-221)."""
+        return self.code_decoupler(z_i, train)
+
+    def encode(self, x, train: bool = False):
+        return self.general_encoder(x, train)

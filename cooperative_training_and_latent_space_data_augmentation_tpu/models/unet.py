@@ -1,0 +1,185 @@
+"""Baseline segmentation networks: UNet family + Bai-style FCN (flax, NHWC).
+
+TPU-native re-design of ``medseg/models/segmentation_models/unet.py`` and
+``fcn.py``:
+
+  * ``UNet``                <- UNet (unet.py:9-198): inc double-conv ->
+    4x [maxpool2 + double-conv] (64,128,256,512,512)/f -> 4x [bilinear up +
+    concat skip + double-conv] -> 1x1 out conv.  ``feature_scale`` in
+    {1, 2, 4} yields UNet_64 / UNet_32 / UNet_16.
+  * ``DeeplySupervisedUNet``<- DeeplySupervisedUNet (unet.py:201-319): same
+    trunk, auxiliary 1x1 heads on the two coarsest decoder levels, upsampled
+    and summed/returned for deep supervision.
+  * ``FCN``                 <- FCN (fcn.py:10-197): VGG-ish trunk, per-level
+    1x1 lateral heads upsampled to full resolution, concatenated and fused.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks import (
+    BatchNorm,
+    conv_kernel_init,
+    upsample_bilinear,
+)
+
+
+class DoubleConv(nn.Module):
+    """conv3-BN-ReLU-conv3-BN-ReLU (unet_parts.double_conv)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+            x = BatchNorm()(x, use_running_average=not train)
+            x = nn.relu(x)
+        return x
+
+
+class ConvBNRelu(nn.Module):
+    """conv-BN-ReLU (unet_parts.conv2DBatchNormRelu)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = "SAME" if self.stride == 1 else ((1, 1), (1, 1))
+        if self.kernel == 1:
+            pad = "VALID"
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=pad,
+                    kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+        x = BatchNorm()(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+def _maxpool2(x):
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class UNet(nn.Module):
+    num_classes: int = 4
+    feature_scale: int = 4  # 4 -> "UNet_16" in the reference registry
+    encoder_dropout: Optional[float] = None
+    decoder_dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_scale
+        x1 = DoubleConv(64 // f)(x, train)
+        x2 = DoubleConv(128 // f)(_maxpool2(x1), train)
+        x3 = DoubleConv(256 // f)(_maxpool2(x2), train)
+        x4 = DoubleConv(512 // f)(_maxpool2(x3), train)
+        x5 = DoubleConv(512 // f)(_maxpool2(x4), train)
+
+        def up(a, skip, feats):
+            a = upsample_bilinear(a)
+            a = jnp.concatenate([skip, a], axis=-1)
+            return DoubleConv(feats)(a, train)
+
+        h = up(x5, x4, 256 // f)
+        h = up(h, x3, 128 // f)
+        h = up(h, x2, 64 // f)
+        h = up(h, x1, 64 // f)
+        return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                       dtype=h.dtype)(h)
+
+
+class DeeplySupervisedUNet(nn.Module):
+    """UNet with auxiliary heads on coarse decoder levels (unet.py:201-319).
+
+    Returns (main_logits, [aux_logits...]) when ``train`` else main logits.
+    """
+
+    num_classes: int = 4
+    feature_scale: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_scale
+        x1 = DoubleConv(64 // f)(x, train)
+        x2 = DoubleConv(128 // f)(_maxpool2(x1), train)
+        x3 = DoubleConv(256 // f)(_maxpool2(x2), train)
+        x4 = DoubleConv(512 // f)(_maxpool2(x3), train)
+        x5 = DoubleConv(512 // f)(_maxpool2(x4), train)
+
+        def up(a, skip, feats):
+            a = upsample_bilinear(a)
+            a = jnp.concatenate([skip, a], axis=-1)
+            return DoubleConv(feats)(a, train)
+
+        d1 = up(x5, x4, 256 // f)
+        d2 = up(d1, x3, 128 // f)
+        d3 = up(d2, x2, 64 // f)
+        d4 = up(d3, x1, 64 // f)
+        out = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                      dtype=d4.dtype)(d4)
+        aux1 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                       dtype=d1.dtype)(d1)
+        aux2 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                       dtype=d2.dtype)(d2)
+        n, h, w, c = out.shape
+        aux1 = jnp.reshape(
+            upsample_bilinear(upsample_bilinear(upsample_bilinear(aux1))), (n, h, w, c))
+        aux2 = jnp.reshape(upsample_bilinear(upsample_bilinear(aux2)), (n, h, w, c))
+        if train:
+            return out, [aux1, aux2]
+        return out
+
+
+class FCN(nn.Module):
+    """Bai-style multi-scale aggregation FCN (fcn.py:10-197)."""
+
+    num_classes: int = 4
+    feature_scale: int = 4
+    input_channel: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_scale
+        filters = [64 // f, 128 // f, 256 // f, 512 // f, 512 // f]
+
+        h = ConvBNRelu(filters[0])(x, train)
+        l1 = ConvBNRelu(filters[0])(h, train)
+
+        h = ConvBNRelu(filters[1], stride=2)(l1, train)
+        l2 = ConvBNRelu(filters[1])(h, train)
+
+        h = ConvBNRelu(filters[2], stride=2)(l2, train)
+        h = ConvBNRelu(filters[2])(h, train)
+        l3 = ConvBNRelu(filters[2])(h, train)
+
+        h = ConvBNRelu(filters[3], stride=2)(l3, train)
+        h = ConvBNRelu(filters[3])(h, train)
+        l4 = ConvBNRelu(filters[3])(h, train)
+
+        h = ConvBNRelu(filters[4], stride=2)(l4, train)
+        h = ConvBNRelu(filters[4])(h, train)
+        l5 = ConvBNRelu(filters[4])(h, train)
+
+        o1 = ConvBNRelu(filters[0])(l1, train)
+        o2 = ConvBNRelu(filters[0])(l2, train)
+        o3 = ConvBNRelu(filters[0])(l3, train)
+        o4 = ConvBNRelu(filters[0])(l4, train)
+        o5 = ConvBNRelu(filters[0])(l5, train)
+
+        def up_to(a, times):
+            for _ in range(times):
+                a = upsample_bilinear(a)
+            return a
+
+        feats = jnp.concatenate(
+            [o1, up_to(o2, 1), up_to(o3, 2), up_to(o4, 3), up_to(o5, 4)], axis=-1)
+        feats = ConvBNRelu(64, kernel=1)(feats, train)
+        feats = ConvBNRelu(64, kernel=1)(feats, train)
+        return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                       dtype=feats.dtype)(feats)

@@ -1,0 +1,119 @@
+"""Shape/behavior tests for the model library.
+
+Mirrors the reference's executable smoke blocks
+(encoder_decoder.py:646-669, unet.py:405-414, fcn.py:200-213) as real tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
+    FCN,
+    Decoder,
+    DualBranchEncoder,
+    Encoder,
+    UNet,
+    DeeplySupervisedUNet,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.models.layers import (
+    ChannelSELayer,
+    ChannelSpatialSELayer,
+    SelfAttention,
+)
+
+
+def _init_apply(model, x, method=None, train=False):
+    variables = model.init(jax.random.PRNGKey(0), x, train=train)
+    out, updates = model.apply(
+        variables, x, train=train, mutable=["batch_stats"], method=method
+    )
+    return variables, out
+
+
+def test_encoder_latent_shape():
+    # 192x192 input -> 12x12 latent with 512//4=128 channels
+    # (encoder_decoder.py:351-415; advanced...py:87-95).
+    x = jnp.zeros((2, 192, 192, 1))
+    model = Encoder(feature_reduce=4, act="relu")
+    _, z = _init_apply(model, x, train=True)
+    assert z.shape == (2, 12, 12, 128)
+    assert bool(jnp.all(z >= 0))  # ReLU latent
+
+
+def test_dual_branch_encoder():
+    x = jnp.zeros((2, 192, 192, 1))
+    model = DualBranchEncoder(feature_reduce=4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    (z_i, z_s), _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert z_i.shape == (2, 12, 12, 128)
+    assert z_s.shape == (2, 12, 12, 128)
+    # filter_code(z_i) must equal the z_s from the joint call (eval mode,
+    # mirroring Dual_Branch_Encoder.forward == filter_code(general_encoder(x))).
+    (z_i2, z_s2), _ = model.apply(variables, x, train=False, mutable=["batch_stats"])
+    z_s3, _ = model.apply(variables, z_i2, train=False, mutable=["batch_stats"],
+                          method=DualBranchEncoder.filter_code)
+    np.testing.assert_allclose(np.asarray(z_s2), np.asarray(z_s3), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("up_type,last_act,out_ch", [
+    ("NN", None, 4),       # segmentation / shape decoder
+    ("Conv2", "sigmoid", 1),  # image decoder
+])
+def test_decoder_shapes(up_type, last_act, out_ch):
+    z = jnp.zeros((2, 12, 12, 128))
+    model = Decoder(output_channel=out_ch, feature_reduce=4, up_type=up_type,
+                    last_act=last_act)
+    _, y = _init_apply(model, z, train=True)
+    assert y.shape == (2, 192, 192, out_ch)
+    if last_act == "sigmoid":
+        assert bool(jnp.all((y >= 0) & (y <= 1)))
+
+
+@pytest.mark.parametrize("net", [
+    UNet(num_classes=4, feature_scale=4),
+    FCN(num_classes=4, feature_scale=4),
+])
+def test_baselines(net):
+    x = jnp.zeros((2, 96, 96, 1))
+    _, y = _init_apply(net, x, train=False)
+    assert y.shape == (2, 96, 96, 4)
+
+
+def test_deeply_supervised_unet():
+    x = jnp.zeros((1, 64, 64, 1))
+    model = DeeplySupervisedUNet(num_classes=4, feature_scale=4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    (main, auxs), _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert main.shape == (1, 64, 64, 4)
+    assert all(a.shape == main.shape for a in auxs)
+
+
+def test_bn_stats_update_and_freeze():
+    """Four BN behaviors (model_util.py:414-451 -> functional equivalent):
+    train-update = merge emitted stats; train-frozen = discard them."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 48, 48, 1)) + 3.0
+    model = Encoder(feature_reduce=4, act="relu")
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    _, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(updates["batch_stats"])
+    # train forward emits different running stats (they would update)
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+    # eval forward leaves stats untouched
+    _, updates_eval = model.apply(variables, x, train=False, mutable=["batch_stats"])
+    after_eval = jax.tree_util.tree_leaves(updates_eval["batch_stats"])
+    assert all(np.allclose(b, a) for b, a in zip(before, after_eval))
+
+
+def test_layers_smoke():
+    x = jnp.ones((2, 16, 16, 8))
+    for layer in [ChannelSELayer(), ChannelSpatialSELayer()]:
+        variables = layer.init(jax.random.PRNGKey(0), x)
+        y = layer.apply(variables, x)
+        assert y.shape == x.shape
+    attn = SelfAttention()
+    variables = attn.init(jax.random.PRNGKey(0), x)
+    y, a = attn.apply(variables, x)
+    assert y.shape == x.shape and a.shape == (2, 256, 256)
