@@ -1,6 +1,4 @@
 from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (  # noqa: F401
-    augment,
-    corruptions,
     image,
     losses,
     masking,

@@ -1,0 +1,131 @@
+"""Golden-value tests for the loss library, cross-checked against torch-CPU
+implementations of the documented reference semantics
+(medseg/models/custom_loss.py, model_util.cross_entropy_2D)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops import losses
+
+
+@pytest.fixture
+def logits_labels(np_rng):
+    logits = np_rng.randn(3, 8, 8, 4).astype(np.float32)
+    labels = np_rng.randint(0, 4, (3, 8, 8)).astype(np.int32)
+    return logits, labels
+
+
+def _to_torch_nchw(x):
+    return torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+
+def test_cross_entropy_2d_hard_target(logits_labels):
+    logits, labels = logits_labels
+    ours = float(losses.cross_entropy_2d(jnp.asarray(logits), jnp.asarray(labels)))
+    # reference semantics: sum NLL / numel (model_util.py:104-115)
+    t = F.nll_loss(
+        F.log_softmax(_to_torch_nchw(logits), dim=1),
+        torch.from_numpy(labels.astype(np.int64)), reduction="sum"
+    ) / labels.size
+    np.testing.assert_allclose(ours, float(t), rtol=1e-5)
+
+
+def test_cross_entropy_2d_soft_target(logits_labels):
+    logits, _ = logits_labels
+    target = np.random.RandomState(1).randn(3, 8, 8, 4).astype(np.float32)
+    ours = float(losses.cross_entropy_2d(jnp.asarray(logits), jnp.asarray(target)))
+    # ref: -mean over classes then mean over pixels of q*log_p (model_util.py:116-132)
+    log_p = F.log_softmax(_to_torch_nchw(logits), dim=1)
+    q = F.softmax(_to_torch_nchw(target), dim=1)
+    t = -torch.mean(torch.mean(q * log_p, dim=1))
+    np.testing.assert_allclose(ours, float(t), rtol=1e-5)
+
+
+def test_cross_entropy_weighted(logits_labels):
+    logits, labels = logits_labels
+    w = np.array([0.1, 0.5, 0.2, 0.2], np.float32)
+    ours = float(losses.cross_entropy_2d(jnp.asarray(logits), jnp.asarray(labels), weight=w))
+    tw = torch.softmax(torch.from_numpy(w), dim=0) * 4
+    t = F.nll_loss(
+        F.log_softmax(_to_torch_nchw(logits), dim=1),
+        torch.from_numpy(labels.astype(np.int64)), weight=tw, reduction="sum"
+    ) / labels.size
+    np.testing.assert_allclose(ours, float(t), rtol=1e-5)
+
+
+def test_soft_dice_perfect_prediction():
+    labels = np.zeros((2, 8, 8), np.int32)
+    labels[:, :4] = 1
+    # extreme logits -> probs ~ one-hot -> dice ~ 1 -> loss ~ 0
+    logits = (np.eye(3, dtype=np.float32)[labels] * 2 - 1) * 50.0
+    loss = float(losses.soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    assert loss == pytest.approx(0.0, abs=1e-3)
+
+
+def test_foreground_dice_ignores_background(logits_labels):
+    logits, labels = logits_labels
+    full = losses.soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels))
+    fg = losses.selective_soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels), [1, 2, 3])
+    assert float(full) != float(fg)
+
+
+def test_focal_equals_ce_at_gamma0(logits_labels):
+    logits, labels = logits_labels
+    focal = float(losses.focal_loss(jnp.asarray(logits), jnp.asarray(labels), gamma=0.0))
+    ce = float(losses.cross_entropy_2d(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(focal, ce, rtol=1e-5)
+
+
+def test_kl_divergence_identity(logits_labels):
+    logits, _ = logits_labels
+    kl = float(losses.kl_divergence(jnp.asarray(logits), jnp.asarray(logits)))
+    assert kl == pytest.approx(0.0, abs=1e-6)
+    other = np.random.RandomState(2).randn(*logits.shape).astype(np.float32)
+    assert float(losses.kl_divergence(jnp.asarray(logits), jnp.asarray(other))) > 0
+
+
+def test_entropy_loss_bounds(logits_labels):
+    logits, _ = logits_labels
+    ent = float(losses.entropy_loss(jnp.asarray(logits)))
+    assert 0.0 <= ent <= 1.0
+    uniform = jnp.zeros_like(jnp.asarray(logits))
+    assert float(losses.entropy_loss(uniform)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_contour_loss_zero_for_match():
+    labels = np.zeros((1, 16, 16), np.int32)
+    labels[:, 4:12, 4:12] = 1
+    probs = np.eye(2, dtype=np.float32)[labels]
+    loss = float(losses.contour_loss(jnp.asarray(probs), jnp.asarray(labels), 2))
+    assert loss == pytest.approx(0.0, abs=1e-6)
+    shifted = np.roll(labels, 3, axis=1)
+    probs_shift = np.eye(2, dtype=np.float32)[shifted]
+    assert float(losses.contour_loss(jnp.asarray(probs_shift), jnp.asarray(labels), 2)) > 0
+
+
+def test_basic_loss_fn_dispatch(logits_labels):
+    logits, labels = logits_labels
+    for lt in ["cross entropy", "weighted cross entropy", "dice", "weighted dice",
+               "foreground dice", "focal", "contour_smooth"]:
+        val = float(losses.basic_loss_fn(jnp.asarray(logits), jnp.asarray(labels), lt))
+        assert np.isfinite(val), lt
+
+
+def test_consistency_and_misc(logits_labels):
+    logits, labels = logits_labels
+    other = np.random.RandomState(3).randn(*logits.shape).astype(np.float32)
+    v = losses.calc_segmentation_consistency(
+        jnp.asarray(logits), jnp.asarray(other),
+        divergence_types=("kl", "mse", "ce", "contour"),
+        divergence_weights=(1.0, 1.0, 1.0, 0.5))
+    assert np.isfinite(float(v))
+    a = jnp.asarray(logits)
+    assert np.isfinite(float(losses.calc_angular_loss(a, jnp.asarray(other))))
+    assert np.isfinite(float(losses.style_loss(a, jnp.asarray(other))))
+    assert np.isfinite(float(losses.brier_loss(a, jnp.asarray(labels))))
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    assert np.isfinite(float(losses.nt_xent_loss(z, z + 0.1)))
