@@ -1,0 +1,140 @@
+"""Host -> device input pipeline.
+
+Replaces the reference's pinned-memory DataLoader with seeded worker
+processes (train_adv_supervised_segmentation_triplet.py:110-116): here the
+host only collates raw fixed-shape numpy batches; the ~12-stage augmentation
+runs jitted on device (ops/augment.py), and `jax.device_put` with an explicit
+batch sharding feeds the mesh.
+
+``CooperativeBatcher`` reproduces the batch-halving semantics of
+``keep_orig_image_label_pair_for_training`` (train...py:103-108 + dataset
+side base_segmentation_dataset.py:149-186): each raw sample contributes BOTH
+an augmented view and its center-cropped original, concatenated along batch
+-> effective batch = 2x loader batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.base import (
+    SegDatasetBase,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
+    make_batch_augment,
+    make_batch_eval_transform,
+)
+
+
+class BatchSampler:
+    """Shuffled epoch iterator over dataset indices (seeded, reproducible)."""
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = False, seed: Optional[int] = None):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self) -> Iterator[np.ndarray]:
+        order = (self.rng.permutation(self.n) if self.shuffle
+                 else np.arange(self.n))
+        for i in range(0, self.n, self.batch_size):
+            batch = order[i:i + self.batch_size]
+            if self.drop_last and len(batch) < self.batch_size:
+                break
+            # fixed shapes for jit: wrap around instead of ragged last batch
+            if len(batch) < self.batch_size:
+                extra = order[: self.batch_size - len(batch)]
+                batch = np.concatenate([batch, extra])
+            yield batch
+
+
+def collate(dataset: SegDatasetBase, indices: np.ndarray) -> Dict[str, np.ndarray]:
+    images, labels = [], []
+    for i in indices:
+        s = dataset[int(i)]
+        images.append(s["image"])
+        labels.append(s["label"])
+    return {"image": np.stack(images).astype(np.float32),
+            "label": np.stack(labels).astype(np.int32)}
+
+
+class CooperativeBatcher:
+    """Yields device-ready training batches at crop resolution.
+
+    batch_size is the EFFECTIVE batch (reference `learning.batch_size`); with
+    keep_orig=True the loader samples batch_size//2 raw slices and emits
+    [augmented || original] (train...py:48-60,103-108).
+    """
+
+    def __init__(self, dataset: SegDatasetBase, batch_size: int,
+                 policy_name: str, pad_hw=(224, 224), crop_hw=(192, 192),
+                 num_classes: int = 4, keep_orig: bool = True,
+                 shuffle: bool = True, seed: Optional[int] = 0,
+                 sharding=None):
+        self.dataset = dataset
+        self.keep_orig = keep_orig
+        raw_bs = max(batch_size // 2, 1) if keep_orig else batch_size
+        self.raw_bs = raw_bs
+        self.sampler = BatchSampler(len(dataset), raw_bs, shuffle=shuffle,
+                                    seed=seed)
+        self.augment = make_batch_augment(policy_name, pad_hw, crop_hw,
+                                          num_classes)
+        self.eval_transform = make_batch_eval_transform(pad_hw, crop_hw)
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def epoch(self, rng_key) -> Iterator[Dict[str, jax.Array]]:
+        for indices in self.sampler.epoch():
+            raw = collate(self.dataset, indices)
+            rng_key, sub = jax.random.split(rng_key)
+            img = jax.numpy.asarray(raw["image"])
+            lbl = jax.numpy.asarray(raw["label"])
+            aug_img, aug_lbl = self.augment(sub, img, lbl)
+            if self.keep_orig:
+                orig_img, orig_lbl = self.eval_transform(img, lbl)
+                batch = {
+                    "image": jax.numpy.concatenate([aug_img, orig_img], axis=0),
+                    "label": jax.numpy.concatenate([aug_lbl, orig_lbl], axis=0),
+                }
+            else:
+                batch = {"image": aug_img, "label": aug_lbl}
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            yield batch
+
+
+class EvalBatcher:
+    """Validation batches: eval transform only (no augmentation)."""
+
+    def __init__(self, dataset: SegDatasetBase, batch_size: int,
+                 pad_hw=(224, 224), crop_hw=(192, 192), sharding=None):
+        self.dataset = dataset
+        self.sampler = BatchSampler(len(dataset), batch_size, shuffle=False)
+        self.eval_transform = make_batch_eval_transform(pad_hw, crop_hw)
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def epoch(self) -> Iterator[Dict[str, jax.Array]]:
+        for indices in self.sampler.epoch():
+            raw = collate(self.dataset, indices)
+            img, lbl = self.eval_transform(
+                jax.numpy.asarray(raw["image"]), jax.numpy.asarray(raw["label"]))
+            batch = {"image": img, "label": lbl}
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            yield batch

@@ -1,0 +1,226 @@
+"""Minimal pure-numpy NIfTI-1 (.nii / .nii.gz) and NRRD readers/writers.
+
+The reference reads medical volumes through SimpleITK
+(medseg/common_utils/basic_operations.py:337-365); SimpleITK/nibabel are not
+available in this image, so the framework ships its own IO for the two
+formats the reference pipeline touches ({pid}/{frame}_img.nii.gz and
+preprocessed .nrrd volumes, acdc_preprocess.py:139-149).
+
+Only the features the pipeline needs are implemented: single-file NIfTI-1
+with raw or gzip encoding, common dtypes, pixdim spacing, and scl_slope/inter
+rescaling; NRRD with 'raw' or 'gzip' encodings.  Arrays are returned in
+C-order (z, y, x) like SimpleITK's GetArrayFromImage.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_NIFTI_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+}
+_NIFTI_CODES = {np.dtype(v): k for k, v in _NIFTI_DTYPES.items()}
+
+
+def _maybe_gzip_read(path: str) -> bytes:
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def read_nifti(path: str) -> Tuple[np.ndarray, Tuple[float, ...]]:
+    """Read a NIfTI-1 volume.  Returns (array in (z, y, x) C-order,
+    spacing (sx, sy, sz) in ITK convention: x fastest)."""
+    buf = _maybe_gzip_read(path)
+    if len(buf) < 348:
+        raise ValueError(f"{path}: too short for a NIfTI-1 header")
+    sizeof_hdr = struct.unpack("<i", buf[0:4])[0]
+    if sizeof_hdr != 348:
+        raise ValueError(f"{path}: bad sizeof_hdr {sizeof_hdr}")
+    dim = struct.unpack("<8h", buf[40:56])
+    ndim = dim[0]
+    shape_xyz = [max(1, d) for d in dim[1:1 + max(ndim, 3)]]
+    datatype = struct.unpack("<h", buf[70:72])[0]
+    bitpix = struct.unpack("<h", buf[72:74])[0]
+    pixdim = struct.unpack("<8f", buf[76:108])
+    vox_offset = struct.unpack("<f", buf[108:112])[0]
+    scl_slope = struct.unpack("<f", buf[112:116])[0]
+    scl_inter = struct.unpack("<f", buf[116:120])[0]
+    if datatype not in _NIFTI_DTYPES:
+        raise NotImplementedError(f"{path}: NIfTI datatype {datatype}")
+    dtype = np.dtype(_NIFTI_DTYPES[datatype]).newbyteorder("<")
+    n_vox = int(np.prod(shape_xyz))
+    start = int(vox_offset) if vox_offset else 352
+    data = np.frombuffer(buf, dtype=dtype, count=n_vox, offset=start)
+    # NIfTI data is Fortran-ordered over (x, y, z, ...)
+    arr = data.reshape(shape_xyz, order="F")
+    if arr.ndim > 3:
+        arr = arr.reshape(shape_xyz[:3] + [-1], order="F")[..., 0]
+    # (x, y, z) -> (z, y, x)
+    arr = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)))
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        arr = arr.astype(np.float32) * slope + scl_inter
+    spacing = tuple(float(p) for p in pixdim[1:4])
+    return arr, spacing
+
+
+def write_nifti(path: str, array_zyx: np.ndarray,
+                spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0)) -> None:
+    """Write a minimal NIfTI-1 single file (gzipped when path ends .gz)."""
+    arr = np.asarray(array_zyx)
+    assert arr.ndim == 3, arr.shape
+    if arr.dtype not in _NIFTI_CODES:
+        arr = arr.astype(np.float32)
+    code = _NIFTI_CODES[np.dtype(arr.dtype)]
+    xyz = np.transpose(arr, (2, 1, 0))  # (x, y, z)
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, xyz.shape[0], xyz.shape[1], xyz.shape[2],
+                     1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, arr.dtype.itemsize * 8)
+    struct.pack_into("<8f", hdr, 76, 1.0, spacing[0], spacing[1], spacing[2],
+                     0.0, 0.0, 0.0, 0.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)   # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)   # scl_inter
+    # sform/qform codes 0 -> rely on pixdim; magic
+    hdr[344:348] = b"n+1\x00"
+    payload = bytes(hdr) + xyz.tobytes(order="F")
+    if path.endswith(".gz"):
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
+_NRRD_DTYPES = {
+    "float": np.float32, "float32": np.float32, "double": np.float64,
+    "int": np.int32, "int32": np.int32, "short": np.int16, "int16": np.int16,
+    "uchar": np.uint8, "uint8": np.uint8, "unsigned char": np.uint8,
+    "uint16": np.uint16, "unsigned short": np.uint16, "int8": np.int8,
+    "long": np.int64, "int64": np.int64,
+}
+
+
+def read_nrrd(path: str) -> Tuple[np.ndarray, Tuple[float, ...]]:
+    """Read an NRRD volume (raw/gzip encodings).  Returns (array (z, y, x),
+    spacing (sx, sy, sz))."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    header_end = blob.find(b"\n\n")
+    if header_end < 0:
+        raise ValueError(f"{path}: no NRRD header terminator")
+    header_lines = blob[:header_end].decode("ascii", errors="replace").splitlines()
+    data = blob[header_end + 2:]
+    fields: Dict[str, str] = {}
+    for line in header_lines[1:]:
+        if line.startswith("#") or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        fields[k.strip().lower()] = v.strip().lstrip("=").strip()
+    dtype = _NRRD_DTYPES[fields["type"]]
+    sizes = [int(s) for s in fields["sizes"].split()]
+    encoding = fields.get("encoding", "raw")
+    endian = fields.get("endian", "little")
+    if encoding in ("gzip", "gz"):
+        data = gzip.decompress(data)
+    elif encoding != "raw":
+        raise NotImplementedError(f"NRRD encoding {encoding}")
+    dt = np.dtype(dtype).newbyteorder("<" if endian == "little" else ">")
+    arr = np.frombuffer(data, dtype=dt, count=int(np.prod(sizes)))
+    arr = arr.reshape(sizes, order="F")  # NRRD default is x-fastest
+    if arr.ndim == 3:
+        arr = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)))
+    spacing = (1.0, 1.0, 1.0)
+    if "space directions" in fields:
+        dirs = fields["space directions"].replace("(", " ").replace(")", " ").split()
+        try:
+            vals = [float(x) for x in ",".join(dirs).replace(",", " ").split()]
+            if len(vals) >= 9:
+                spacing = (abs(vals[0]), abs(vals[4]), abs(vals[8]))
+        except ValueError:
+            pass
+    elif "spacings" in fields:
+        spacing = tuple(float(s) for s in fields["spacings"].split())
+    return arr, spacing
+
+
+def write_nrrd(path: str, array_zyx: np.ndarray,
+               spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+               encoding: str = "gzip") -> None:
+    arr = np.asarray(array_zyx)
+    assert arr.ndim == 3
+    type_name = {np.dtype(np.float32): "float", np.dtype(np.float64): "double",
+                 np.dtype(np.int16): "short", np.dtype(np.int32): "int",
+                 np.dtype(np.uint8): "uchar", np.dtype(np.int64): "int64",
+                 np.dtype(np.uint16): "uint16"}.get(arr.dtype)
+    if type_name is None:
+        arr = arr.astype(np.float32)
+        type_name = "float"
+    xyz = np.transpose(arr, (2, 1, 0))
+    header = [
+        "NRRD0004",
+        f"type: {type_name}",
+        "dimension: 3",
+        "space: left-posterior-superior",
+        f"sizes: {xyz.shape[0]} {xyz.shape[1]} {xyz.shape[2]}",
+        f"space directions: ({spacing[0]},0,0) (0,{spacing[1]},0) (0,0,{spacing[2]})",
+        "kinds: domain domain domain",
+        "endian: little",
+        f"encoding: {encoding}",
+        "space origin: (0,0,0)",
+    ]
+    payload = xyz.tobytes(order="F")
+    if encoding == "gzip":
+        payload = gzip.compress(payload)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n\n").encode("ascii"))
+        f.write(payload)
+
+
+def load_img_label_from_path(img_path: str, label_path: Optional[str] = None,
+                             new_spacing=None, normalize: bool = False):
+    """Read an image (+label) volume pair with optional in-plane resampling
+    and 2-98 percentile normalization
+    (basic_operations.load_img_label_from_path:337-365)."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.preprocess import (
+        normalize_minmax_data,
+        resample_by_spacing,
+    )
+
+    reader = read_nrrd if img_path.endswith(".nrrd") else read_nifti
+    img, spacing = reader(img_path)
+    img = img.astype(np.float32)
+    label = None
+    if label_path is not None:
+        lreader = read_nrrd if label_path.endswith(".nrrd") else read_nifti
+        label, _ = lreader(label_path)
+    if new_spacing is not None:
+        img = resample_by_spacing(img, spacing, new_spacing, order=1)
+        if label is not None:
+            label = resample_by_spacing(label, spacing, new_spacing, order=0)
+        spacing = tuple(
+            s if ns is not None and ns <= 0 else float(ns)
+            for s, ns in zip(spacing, new_spacing))
+    if normalize:
+        img = normalize_minmax_data(img)
+    return (img, label, spacing)

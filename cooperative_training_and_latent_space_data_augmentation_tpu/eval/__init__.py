@@ -1,0 +1,6 @@
+from cooperative_training_and_latent_space_data_augmentation_tpu.eval.metrics import (  # noqa: F401
+    RunningScore,
+    RunningSegmentationScore,
+    runningScore,
+    runningMySegmentationScore,
+)

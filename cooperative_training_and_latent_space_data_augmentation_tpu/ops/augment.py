@@ -1,0 +1,483 @@
+"""On-device data augmentation (pure jnp, vmapped per sample, jit-safe).
+
+TPU-native re-design of the reference's CPU transform pipeline
+(medseg/dataset_loader/transform.py:46-112 + _utils/{affine,intensity,
+elastic}_transform.py).  The reference runs ~12 numpy/scipy/torchsample
+stages per sample in DataLoader worker processes; here the whole policy is a
+single jitted function over the batch, so augmentation rides the TPU instead
+of bottlenecking on host CPUs.
+
+Stage mapping (reference order preserved: pad -> flip -> bias v1 -> bias v2 ->
+brightness/contrast -> affine -> group rotation -> elastic -> coarse elastic ->
+center crop -> percentile min-max normalize):
+
+  * ``random_flip``        <- MyRandomFlip (affine_transform.py)
+  * ``bias_field_v1``      <- MyRandomPurtarbation (intensity_transform.py:272-370):
+    multi-scale Gaussian-smoothed random field, mean-normalized, clipped to
+    [1-magnitude, 1+magnitude], multiplied in, then per-image min-max rescale.
+  * ``bias_field_v2``      <- MyRandomPurtarbationV2 (:373-546): coarse-grid
+    1+U(-m, m) knots smoothly upsampled (B-spline there, bicubic here).
+  * ``brightness_contrast``<- RandomBrightnessFluctuation (:114-162):
+    scale~U(0.8,1.2), shift~U(-0.1,0.1), clipped to the original range.
+  * ``random_gamma``       <- RandomGamma (:68-111).  (Note: the reference
+    composes gamma configs but never wires RandomGamma into the pipeline;
+    we wire it so the gamma policies actually work.)
+  * one fused geometric warp <- ts.RandomAffine (rot/shift/shear/zoom) +
+    MyRandomChoiceRotate (45-degree group) + MyElasticTransform (Simard dense
+    field: alpha=H*U(1.5,2), sigma=H*U(0.1,0.2)*0.75) + coarse 3x3 N(0,10)
+    grid (elastic_transform.py:16-172).  The reference resamples 2-4 times
+    with order-3 splines; we compose all geometry into ONE bilinear gather
+    (labels: one-hot warp + argmax, mirroring the per-class warping at
+    elastic_transform.py:86-96).  A known fidelity gap vs order-3 — validated
+    distributionally (final Dice), per SURVEY "Hard parts".
+  * ``percentile_normalize`` <- MyNormalizeMedicPercentile (:216-269).
+
+Gaussian smoothing of dense elastic fields with a *traced* sigma uses an FFT
+Gaussian (circular boundary) instead of scipy's constant-padded kernel —
+distributionally equivalent away from edges and far cheaper on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------- policy cfg
+@dataclass(frozen=True)
+class AugmentPolicy:
+    """Mirror of the reference policy dicts (transform.py:115-314)."""
+
+    # geometric
+    flip_h: bool = False
+    flip_v: bool = False
+    flip_p: float = 0.0
+    shift_val: Tuple[float, float] = (0.0, 0.0)
+    rotate_val: float = 0.0
+    scale_val: Tuple[float, float] = (1.0, 1.0)
+    shear_val: float = 0.0
+    rotate_groups: Tuple[float, ...] = ()
+    # intensity
+    intensity_prob: float = 0.0
+    contrast_range: Tuple[float, float] = (0.8, 1.2)
+    brightness_range: Tuple[float, float] = (-0.1, 0.1)
+    gamma_prob: float = 0.0
+    gamma_range: Tuple[float, float] = (0.8, 1.2)
+    # elastic
+    elastic_prob: float = 0.0
+    elastic_prob_v2: float = 0.0
+    # bias field v1
+    perturb_prob: float = 0.0
+    max_sigma: float = 16.0
+    multi_control_points: Tuple[int, ...] = (4,)
+    perturb_magnitude: float = 0.3
+    add_noise: bool = False
+    noise_epsilon: float = 0.01
+    # bias field v2
+    perturb_v2_prob: float = 0.0
+    perturb_v2_magnitude: float = 0.2
+    ms_control_point_spacing: Tuple[int, ...] = (32,)
+    perturb_v2_add_noise: bool = False
+    perturb_v2_noise_epsilon: float = 0.01
+
+
+def _p(**kw) -> AugmentPolicy:
+    return AugmentPolicy(**kw)
+
+
+_ACDC_AFFINE = dict(flip_h=True, flip_v=True, flip_p=0.2, shift_val=(0.1, 0.1),
+                    rotate_val=15.0, scale_val=(0.8, 1.1),
+                    rotate_groups=tuple(45.0 * i for i in range(8)))
+
+# policy registry (transform.py:16-42 + the policy methods :115-314)
+POLICIES: Dict[str, AugmentPolicy] = {
+    "no_aug": _p(),
+    "scale": _p(scale_val=(0.8, 1.2)),
+    "gamma": _p(gamma_prob=0.5),
+    "gamma_scale": _p(gamma_prob=0.5, scale_val=(0.9, 1.1)),
+    "affine": _p(shift_val=(0.1, 0.1), rotate_val=15.0, scale_val=(0.9, 1.1)),
+    "elastic": _p(elastic_prob=1.0),
+    "elastic_v2": _p(elastic_prob_v2=1.0),
+    "elastic_scale": _p(elastic_prob=0.5, scale_val=(0.9, 1.1)),
+    "gamma_elastic": _p(gamma_prob=0.5, elastic_prob=0.5),
+    "affine_elastic": _p(shift_val=(0.1, 0.1), rotate_val=15.0,
+                         scale_val=(0.9, 1.1), elastic_prob=0.5),
+    "affine_gamma": _p(shift_val=(0.1, 0.1), rotate_val=15.0,
+                       scale_val=(0.9, 1.1), gamma_prob=0.5),
+    "affine_gamma_elastic": _p(shift_val=(0.1, 0.1), rotate_val=15.0,
+                               scale_val=(0.9, 1.1), gamma_prob=0.5,
+                               elastic_prob=0.5),
+    "ACDC_affine": _p(**_ACDC_AFFINE),
+    "ACDC_affine_intensity": _p(**_ACDC_AFFINE, intensity_prob=0.5),
+    "ACDC_affine_elastic": _p(**_ACDC_AFFINE, elastic_prob=0.5),
+    "ACDC_affine_elastic_intensity": _p(**_ACDC_AFFINE, intensity_prob=0.5,
+                                        elastic_prob=0.5),
+    "ACDC_affine_elastic_intensity_v2": _p(**_ACDC_AFFINE, intensity_prob=0.5,
+                                           elastic_prob_v2=0.5),
+    "ACDC_affine_perturb": _p(**_ACDC_AFFINE, perturb_prob=0.5, max_sigma=16,
+                              multi_control_points=(2, 4, 8), add_noise=True),
+    "ACDC_affine_perturb_v2": _p(**_ACDC_AFFINE, perturb_v2_prob=0.5,
+                                 perturb_v2_magnitude=0.3,
+                                 ms_control_point_spacing=(64, 1),
+                                 perturb_v2_add_noise=True),
+    "ACDC_affine_elastic_bias": _p(**_ACDC_AFFINE, perturb_v2_prob=0.5,
+                                   perturb_v2_magnitude=0.3,
+                                   ms_control_point_spacing=(64, 1),
+                                   perturb_v2_add_noise=True, elastic_prob=0.5),
+    "ACDC_affine_all": _p(**_ACDC_AFFINE, perturb_v2_prob=0.5,
+                          perturb_v2_magnitude=0.3,
+                          ms_control_point_spacing=(64, 1),
+                          perturb_v2_add_noise=True, elastic_prob=0.5,
+                          intensity_prob=0.5),
+    "Atrial_basic": _p(flip_h=True, flip_v=True, flip_p=0.5,
+                       shift_val=(0.1, 0.1), rotate_val=10.0,
+                       scale_val=(0.7, 1.3), gamma_range=(0.8, 2.0),
+                       gamma_prob=0.5),
+    "Atrial_perturb": _p(flip_h=True, flip_v=True, flip_p=0.5,
+                         shift_val=(0.1, 0.1), rotate_val=10.0,
+                         scale_val=(0.7, 1.3), gamma_range=(0.8, 2.0),
+                         gamma_prob=0.5, perturb_prob=0.5, max_sigma=16,
+                         multi_control_points=(2, 4, 8)),
+    "Prostate_affine_elastic_intensity": _p(flip_h=True, flip_v=True, flip_p=0.5,
+                                            shift_val=(0.1, 0.1), rotate_val=15.0,
+                                            scale_val=(0.8, 1.2),
+                                            intensity_prob=0.5, elastic_prob=0.5),
+}
+
+
+def get_policy(name: str) -> AugmentPolicy:
+    if name not in POLICIES:
+        raise KeyError(f"unknown augmentation policy {name!r}; have {sorted(POLICIES)}")
+    return POLICIES[name]
+
+
+# ------------------------------------------------------------ basic helpers
+def pad_to(x, pad_hw: Tuple[int, int], value: float = 0.0):
+    """Center-pad spatial dims of HWC/HW arrays to at least pad_hw
+    (ts.PadNumpy)."""
+    h, w = x.shape[0], x.shape[1]
+    ph = max(0, pad_hw[0] - h)
+    pw = max(0, pad_hw[1] - w)
+    pads = [(ph // 2 + ph % 2, ph // 2), (pw // 2 + pw % 2, pw // 2)]
+    pads += [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def center_crop(x, crop_hw: Tuple[int, int]):
+    """Center crop spatial dims of HWC/HW arrays (MySpecialCrop crop_type=0)."""
+    h, w = x.shape[0], x.shape[1]
+    hs = (h - crop_hw[0]) // 2
+    ws = (w - crop_hw[1]) // 2
+    return x[hs:hs + crop_hw[0], ws:ws + crop_hw[1]]
+
+
+def percentile_normalize(x, perc: Tuple[float, float] = (0.0, 100.0),
+                         min_val: float = 0.0, max_val: float = 1.0,
+                         eps: float = 1e-8):
+    """Percentile-clipped min-max to [min_val, max_val]
+    (MyNormalizeMedicPercentile, intensity_transform.py:216-269)."""
+    lo = jnp.percentile(x, perc[0])
+    hi = jnp.percentile(x, perc[1])
+    x = jnp.clip(x, lo, hi)
+    a = (max_val - min_val) / (hi - lo + eps)
+    b = max_val - a * hi
+    return x * a + b
+
+
+def fft_gaussian_blur(x, sigma):
+    """2-D Gaussian blur with traced sigma via rFFT (circular boundary).
+
+    Replaces scipy.ndimage.gaussian_filter for dense elastic fields: the
+    transfer function of a Gaussian is exp(-2 pi^2 sigma^2 f^2).
+    """
+    h, w = x.shape
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.rfftfreq(w)[None, :]
+    transfer = jnp.exp(-2.0 * (math.pi ** 2) * (sigma ** 2) * (fy ** 2 + fx ** 2))
+    return jnp.fft.irfft2(jnp.fft.rfft2(x) * transfer, s=(h, w))
+
+
+# -------------------------------------------------------------- warp engine
+def _bilinear_sample(img_hwc, ys, xs):
+    """Bilinear gather at float coords (H,W) grids; zero outside."""
+    h, w, c = img_hwc.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return img_hwc[yc, xc] * valid
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def warp_image(img_hwc, ys, xs):
+    """Bilinear warp of an HWC image at sample coords."""
+    return _bilinear_sample(img_hwc, ys, xs)
+
+
+def warp_label(label_hw, ys, xs, num_classes: int):
+    """Label warp: one-hot bilinear + argmax (per-class warping like
+    elastic_transform.py:86-96, order reduced to 1)."""
+    onehot = jax.nn.one_hot(label_hw, num_classes, dtype=jnp.float32)
+    warped = _bilinear_sample(onehot, ys, xs)
+    # outside pixels have all-zero scores -> argmax=0 (background), matching
+    # the reference's zero fill
+    return jnp.argmax(warped, axis=-1).astype(label_hw.dtype)
+
+
+def _affine_inverse_matrix(key, policy: AugmentPolicy, h: int, w: int):
+    """Random inverse affine (rotation+group-rotation, shear, zoom, shift)
+    about the image center (ts.RandomAffine + MyRandomChoiceRotate)."""
+    k_rot, k_shift, k_shear, k_zoom, k_group, k_apply = jax.random.split(key, 6)
+    deg = jax.random.uniform(k_rot, (), minval=-policy.rotate_val,
+                             maxval=policy.rotate_val)
+    if policy.rotate_groups:
+        groups = jnp.asarray(policy.rotate_groups)
+        gi = jax.random.randint(k_group, (), 0, len(policy.rotate_groups))
+        deg = deg + groups[gi]
+    theta = -deg * math.pi / 180.0  # inverse rotation
+    shear = -jax.random.uniform(k_shear, (), minval=-policy.shear_val,
+                                maxval=policy.shear_val) * math.pi / 180.0
+    zoom = jax.random.uniform(k_zoom, (), minval=policy.scale_val[0],
+                              maxval=policy.scale_val[1])
+    ty = jax.random.uniform(k_shift, (), minval=-policy.shift_val[0],
+                            maxval=policy.shift_val[0]) * h
+    tx = jax.random.uniform(jax.random.fold_in(k_shift, 1), (),
+                            minval=-policy.shift_val[1],
+                            maxval=policy.shift_val[1]) * w
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.array([[cos, -sin], [sin, cos]])
+    shear_m = jnp.array([[1.0, jnp.tan(shear)], [0.0 * shear, 1.0]])
+    inv_zoom = 1.0 / zoom
+    mat = rot @ shear_m * inv_zoom
+    return mat, jnp.array([ty, tx])
+
+
+def _base_grid(h: int, w: int):
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return ys, xs
+
+
+def _elastic_field(key, h: int, w: int, policy: AugmentPolicy):
+    """Simard dense displacement (elastic_transform.MyElasticTransform:16-101):
+    dx,dy ~ U(-1,1) blurred with sigma=H*U(0.1,0.2)*3/4, scaled by
+    alpha=H*U(1.5,2)."""
+    k_a, k_s, k_dx, k_dy = jax.random.split(key, 4)
+    alpha = h * jax.random.uniform(k_a, (), minval=1.5, maxval=2.0)
+    sigma = h * jax.random.uniform(k_s, (), minval=0.1, maxval=0.2) * 0.75
+    dx = jax.random.uniform(k_dx, (h, w), minval=-1.0, maxval=1.0)
+    dy = jax.random.uniform(k_dy, (h, w), minval=-1.0, maxval=1.0)
+    # scipy's gaussian_filter is normalized; the FFT Gaussian preserves that.
+    dx = fft_gaussian_blur(dx, sigma) * alpha
+    dy = fft_gaussian_blur(dy, sigma) * alpha
+    return dy, dx
+
+
+def _coarse_elastic_field(key, h: int, w: int, mu: float = 0.0, sigma: float = 10.0):
+    """3x3 coarse N(mu, sigma) grid upsampled bicubically
+    (MyElasticTransformCoarseGrid:105-172)."""
+    k1, k2 = jax.random.split(key)
+    dx = jax.image.resize(jax.random.normal(k1, (3, 3)) * sigma + mu, (h, w), "bicubic")
+    dy = jax.image.resize(jax.random.normal(k2, (3, 3)) * sigma + mu, (h, w), "bicubic")
+    return dy, dx
+
+
+# ----------------------------------------------------------- intensity ops
+def random_flip(key, img_hwc, label_hw, policy: AugmentPolicy):
+    """MyRandomFlip: per-axis coin with probability flip_p."""
+    k_h, k_v = jax.random.split(key)
+    if policy.flip_h and policy.flip_p > 0:
+        do = jax.random.uniform(k_h, ()) < policy.flip_p
+        img_hwc = jnp.where(do, img_hwc[:, ::-1], img_hwc)
+        label_hw = jnp.where(do, label_hw[:, ::-1], label_hw)
+    if policy.flip_v and policy.flip_p > 0:
+        do = jax.random.uniform(k_v, ()) < policy.flip_p
+        img_hwc = jnp.where(do, img_hwc[::-1], img_hwc)
+        label_hw = jnp.where(do, label_hw[::-1], label_hw)
+    return img_hwc, label_hw
+
+
+def bias_field_v1(key, img_hwc, policy: AugmentPolicy):
+    """Multi-scale Gaussian-smoothed multiplicative bias
+    (MyRandomPurtarbation, intensity_transform.py:272-370)."""
+    h, w, c = img_hwc.shape
+    keys = jax.random.split(key, len(policy.multi_control_points) + 2)
+    total = jnp.zeros((h, w))
+    for i, cp in enumerate(sorted(policy.multi_control_points)):
+        field = jax.random.uniform(keys[i], (cp, cp))
+        sigma = min(cp * 2.0, policy.max_sigma)
+        field = fft_gaussian_blur(field, jnp.asarray(sigma * cp / max(h, 1) * h / cp))
+        interp = jax.image.resize(field, (h, w), "bicubic")
+        interp = interp / (interp.sum() * cp + 1e-12)
+        total = total + interp
+    total = fft_gaussian_blur(total, jnp.asarray(policy.max_sigma))
+    total = total / (total.sum() + 1e-12) * (h * w)  # ~identity field
+    total = jnp.clip(total, 1.0 - policy.perturb_magnitude,
+                     1.0 + policy.perturb_magnitude)
+    out = img_hwc * total[:, :, None]
+    mn, mx = out.min(), out.max()
+    out = (out - mn) / (mx - mn + 1e-8)
+    if policy.add_noise:
+        noise = jax.random.normal(keys[-1], (h, w, c)) * policy.noise_epsilon
+        out = jnp.clip(out + noise, 0.0, 1.0)
+    return out
+
+
+def bias_field_v2(key, img_hwc, policy: AugmentPolicy):
+    """Coarse-knot smooth multiplicative bias (MyRandomPurtarbationV2:373-546).
+
+    Knots 1 + U(-m, m) on a grid with the coarsest requested spacing,
+    upsampled bicubically (stand-in for the scipy RectBivariateSpline)."""
+    h, w, c = img_hwc.shape
+    k_field, k_noise = jax.random.split(key)
+    spacing = max(int(policy.ms_control_point_spacing[0]), 1)
+    gh = max(h // spacing + 4, 4)
+    gw = max(w // spacing + 4, 4)
+    m = abs(policy.perturb_v2_magnitude)
+    knots = 1.0 + jax.random.uniform(k_field, (gh, gw), minval=-m, maxval=m)
+    bias = jax.image.resize(knots, (h, w), "bicubic")
+    out = img_hwc * bias[:, :, None]
+    mn, mx = out.min(), out.max()
+    out = (out - mn) / (mx - mn + 1e-8)
+    if policy.perturb_v2_add_noise:
+        noise = jax.random.normal(k_noise, (h, w, c)) * policy.perturb_v2_noise_epsilon
+        out = jnp.clip(out + noise, 0.0, 1.0)
+    return out
+
+
+def brightness_contrast(key, img_hwc, policy: AugmentPolicy):
+    """scale/shift with range preservation (RandomBrightnessFluctuation:114-162)."""
+    k_s, k_b = jax.random.split(key)
+    scale = jax.random.uniform(k_s, (), minval=policy.contrast_range[0],
+                               maxval=policy.contrast_range[1])
+    bright = jax.random.uniform(k_b, (), minval=policy.brightness_range[0],
+                                maxval=policy.brightness_range[1])
+    mn, mx = img_hwc.min(), img_hwc.max()
+    return jnp.clip(img_hwc * scale + bright, mn, mx)
+
+
+def random_gamma(key, img_hwc, policy: AugmentPolicy):
+    """x ** (1/gamma) with range preservation (RandomGamma:68-111)."""
+    gamma = jax.random.uniform(key, (), minval=policy.gamma_range[0],
+                               maxval=policy.gamma_range[1])
+    mn, mx = img_hwc.min(), img_hwc.max()
+    return jnp.clip(jnp.maximum(img_hwc, 0.0) ** (1.0 / gamma), mn, mx)
+
+
+# ------------------------------------------------------------ full pipeline
+def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
+                   pad_hw: Tuple[int, int] = (224, 224),
+                   crop_hw: Tuple[int, int] = (192, 192),
+                   num_classes: int = 4):
+    """Full training augmentation for ONE sample (image HWC float [0,1],
+    label HW int).  Returns (image HWC float, label HW int) at crop_hw."""
+    img = pad_to(img_hwc, pad_hw)
+    lbl = pad_to(label_hw, pad_hw)
+    h, w = img.shape[0], img.shape[1]
+
+    (k_flip, k_b1, k_b2, k_bc, k_gamma, k_affine, k_elastic, k_coarse,
+     k_p1, k_p2, k_pbc, k_pg, k_pe, k_pe2) = jax.random.split(key, 14)
+
+    # flips
+    img, lbl = random_flip(k_flip, img, lbl, policy)
+
+    # intensity stages (each gated by its probability; computed then selected)
+    if policy.perturb_prob > 0:
+        out = bias_field_v1(k_b1, img, policy)
+        img = jnp.where(jax.random.uniform(k_p1, ()) < policy.perturb_prob, out, img)
+    if policy.perturb_v2_prob > 0:
+        out = bias_field_v2(k_b2, img, policy)
+        img = jnp.where(jax.random.uniform(k_p2, ()) < policy.perturb_v2_prob, out, img)
+    if policy.intensity_prob > 0:
+        out = brightness_contrast(k_bc, img, policy)
+        img = jnp.where(jax.random.uniform(k_pbc, ()) < policy.intensity_prob, out, img)
+    if policy.gamma_prob > 0:
+        out = random_gamma(k_gamma, img, policy)
+        img = jnp.where(jax.random.uniform(k_pg, ()) < policy.gamma_prob, out, img)
+
+    # one fused geometric warp: affine(+group rotation) then elastic offsets
+    needs_geometry = (policy.rotate_val > 0 or policy.shift_val != (0.0, 0.0)
+                      or policy.scale_val != (1.0, 1.0) or policy.shear_val > 0
+                      or policy.rotate_groups or policy.elastic_prob > 0
+                      or policy.elastic_prob_v2 > 0)
+    if needs_geometry:
+        ys, xs = _base_grid(h, w)
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        mat, trans = _affine_inverse_matrix(k_affine, policy, h, w)
+        yc = ys - cy - trans[0]
+        xc = xs - cx - trans[1]
+        ya = mat[0, 0] * yc + mat[0, 1] * xc + cy
+        xa = mat[1, 0] * yc + mat[1, 1] * xc + cx
+        if policy.elastic_prob > 0:
+            dy, dx = _elastic_field(k_elastic, h, w, policy)
+            do = jax.random.uniform(k_pe, ()) < policy.elastic_prob
+            ya = ya + jnp.where(do, dy, 0.0)
+            xa = xa + jnp.where(do, dx, 0.0)
+        if policy.elastic_prob_v2 > 0:
+            dy, dx = _coarse_elastic_field(k_coarse, h, w)
+            do = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
+            ya = ya + jnp.where(do, dy, 0.0)
+            xa = xa + jnp.where(do, dx, 0.0)
+        img = warp_image(img, ya, xa)
+        lbl = warp_label(lbl, ya, xa, num_classes)
+
+    # crop + normalize
+    img = center_crop(img, crop_hw)
+    lbl = center_crop(lbl, crop_hw)
+    img = percentile_normalize(img)
+    return img, lbl.astype(jnp.int32)
+
+
+def eval_transform_sample(img_hwc, label_hw=None,
+                          pad_hw: Tuple[int, int] = (224, 224),
+                          crop_hw: Tuple[int, int] = (192, 192)):
+    """Validate/test transform: pad -> center crop -> min-max normalize
+    (transform.py:88-112)."""
+    img = percentile_normalize(center_crop(pad_to(img_hwc, pad_hw), crop_hw))
+    if label_hw is None:
+        return img
+    lbl = center_crop(pad_to(label_hw, pad_hw), crop_hw).astype(jnp.int32)
+    return img, lbl
+
+
+def make_batch_augment(policy_name: str, pad_hw=(224, 224), crop_hw=(192, 192),
+                       num_classes: int = 4):
+    """Jitted, vmapped batch augmentation: (key, images NHWC, labels NHW) ->
+    (images NHWC at crop, labels NHW at crop)."""
+    policy = get_policy(policy_name)
+
+    @jax.jit
+    def run(key, images, labels):
+        keys = jax.random.split(key, images.shape[0])
+        return jax.vmap(
+            lambda k, i, l: augment_sample(k, i, l, policy, pad_hw, crop_hw,
+                                           num_classes))(keys, images, labels)
+
+    return run
+
+
+def make_batch_eval_transform(pad_hw=(224, 224), crop_hw=(192, 192)):
+    @jax.jit
+    def run(images, labels):
+        return jax.vmap(
+            lambda i, l: eval_transform_sample(i, l, pad_hw, crop_hw))(images, labels)
+
+    return run

@@ -1,0 +1,512 @@
+"""Cooperative FTN+STN solver — the framework's flagship model.
+
+TPU-native re-design of the reference's
+``AdvancedTripletReconSegmentationModel``
+(medseg/models/advanced_triplet_recon_segmentation_model.py:24-802):
+
+  FTN (fast-thinking): DualBranchEncoder -> (z_i, z_s); image decoder z_i -> I';
+  segmentation decoder z_s -> S0.  STN (slow-thinking): denoising shape
+  autoencoder refining/correcting segmentations.
+
+Where the reference runs ~9 separate module forwards + latent-gradient
+masking + a backward per iteration as eager CUDA calls, here the ENTIRE
+cooperative iteration — input-noise injection, 4 standard losses, latent
+hard-example generation (jax.grad through frozen decoders), 4 hard losses,
+and the 5-subnetwork Adam update — is ONE jitted XLA graph whose batch axis
+shards over a `jax.sharding.Mesh` (see parallel/mesh.py).
+
+Method surface mirrors the reference facade: fast_predict, encode_image,
+decode_image, decode_segmentation_from_image_code, encode_shape, decode_shape,
+recon_shape, standard_training, hard_example_generation, hard_example_training,
+perturb_latent_code, predict, slow_refinement, evaluate, save_model/
+save_snapshots/load_snapshots.
+
+BatchNorm semantics (4 modes of model_util._disable_tracking_bn_stats:414-451):
+  * standard-training forwards normalize with batch stats AND merge updated
+    running stats into the state (torch train mode);
+  * hard-example generation/training forwards normalize with batch stats but
+    their running-stat updates are DISCARDED (torch train + frozen stats);
+  * eval normalizes with running stats;
+  * during masking, gradients flow only to the latent code, which subsumes
+    the reference's frozen-affine trick.
+  Deviation noted: the reference's *saliency* forward inside
+  mask_latent_code_* runs in plain train mode and therefore pollutes BN
+  running stats as a side effect (model_util.py:214-221); we follow the
+  documented intent (frozen stats everywhere in generation) instead.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from os.path import join
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+    LatentDAConfig,
+    MaskConfig,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.models.encoder_decoder import (
+    Decoder,
+    DualBranchEncoder,
+    Encoder,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops import losses as L
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops import masking
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.image import construct_input
+from cooperative_training_and_latent_space_data_augmentation_tpu.train.state import TrainState
+
+MODULE_NAMES = (
+    "image_encoder",
+    "segmentation_decoder",
+    "shape_encoder",
+    "shape_decoder",
+    "image_decoder",
+)
+
+NETWORK_TYPES = (
+    "FCN_16_standard",
+    "FCN_16_standard_share_code",   # ablation: z_i := z_s (advanced...py:199-201)
+    "FCN_16_standard_w_o_filter",   # ablation: z_s := z_i (advanced...py:202-203)
+)
+
+
+def _mask_settings(cfg: MaskConfig) -> masking.MaskSettings:
+    return masking.MaskSettings(
+        loss_name=cfg.loss_name,
+        mask_type=cfg.mask_type,
+        max_threshold=cfg.max_threshold,
+        random_threshold=cfg.random_threshold,
+        if_soft=cfg.if_soft,
+    )
+
+
+class CooperativeTripletSolver:
+    """Builds the 5 subnetworks and exposes pure/jitted train & predict fns."""
+
+    def __init__(
+        self,
+        network_type: str = "FCN_16_standard",
+        image_ch: int = 1,
+        num_classes: int = 4,
+        learning_rate: float = 1e-4,
+        n_iter: int = 1,
+        encoder_dropout: Optional[float] = None,
+        decoder_dropout: Optional[float] = None,
+        input_hw: Tuple[int, int] = (192, 192),
+        temperature: float = 2.0,
+    ):
+        assert network_type in NETWORK_TYPES, f"unknown network_type {network_type}"
+        assert "16" in network_type  # '16' => reduce_factor 4 (advanced...py:87-90)
+        self.network_type = network_type
+        self.image_ch = image_ch
+        self.num_classes = num_classes
+        self.learning_rate = learning_rate
+        self.n_iter = n_iter
+        self.input_hw = input_hw
+        self.temperature = temperature
+        f = 4
+        self.feature_reduce = f
+        self.latent_ch = 512 // f  # 128
+        self.latent_hw = (input_hw[0] // 16, input_hw[1] // 16)
+
+        # module plan mirrors get_network (advanced...py:86-106)
+        self.modules = {
+            "image_encoder": DualBranchEncoder(feature_reduce=f, dropout=encoder_dropout),
+            "segmentation_decoder": Decoder(
+                output_channel=num_classes, feature_reduce=f, up_type="NN",
+                dropout=decoder_dropout),
+            "image_decoder": Decoder(
+                output_channel=image_ch, feature_reduce=f, up_type="Conv2",
+                last_act="sigmoid", dropout=decoder_dropout),
+            "shape_encoder": Encoder(feature_reduce=f, act="relu",
+                                     dropout=encoder_dropout),
+            "shape_decoder": Decoder(
+                output_channel=num_classes, feature_reduce=f, up_type="NN",
+                dropout=decoder_dropout),
+        }
+        self.tx = optax.adam(learning_rate)
+
+    # ------------------------------------------------------------- state
+    def init_state(self, rng: jax.Array) -> TrainState:
+        h, w = self.input_hw
+        lh, lw = self.latent_hw
+        keys = jax.random.split(rng, len(MODULE_NAMES))
+        sample = {
+            "image_encoder": jnp.zeros((1, h, w, self.image_ch)),
+            "segmentation_decoder": jnp.zeros((1, lh, lw, self.latent_ch)),
+            "image_decoder": jnp.zeros((1, lh, lw, self.latent_ch)),
+            "shape_encoder": jnp.zeros((1, h, w, self.num_classes)),
+            "shape_decoder": jnp.zeros((1, lh, lw, self.latent_ch)),
+        }
+        params, stats = {}, {}
+        for key, name in zip(keys, MODULE_NAMES):
+            variables = self.modules[name].init(key, sample[name], train=False)
+            params[name] = variables["params"]
+            stats[name] = variables.get("batch_stats", {})
+        return TrainState(
+            params=params,
+            batch_stats=stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------ module runs
+    def _run(self, name, params, stats, x, train: bool, update: bool,
+             method=None):
+        """Apply one submodule functionally; returns (out, new_stats_dict).
+
+        ``train``  -> BN normalizes with batch stats (else running stats).
+        ``update`` -> merge emitted running-stat updates into the state
+                      (torch track_running_stats).
+        """
+        module = self.modules[name]
+        variables = {"params": params[name], "batch_stats": stats[name]}
+        if train:
+            out, ups = module.apply(variables, x, train=True,
+                                    mutable=["batch_stats"], method=method)
+            if update:
+                new = dict(stats)
+                new[name] = ups["batch_stats"]
+                return out, new
+            return out, stats
+        out = module.apply(variables, x, train=False, method=method)
+        return out, stats
+
+    # ----------------------------------------------------- reference surface
+    def encode_image(self, params, stats, x, train=False, update=False):
+        """(z_i, z_s) with network-variant code sharing (advanced...py:191-206)."""
+        (z_i, z_s), stats = self._run("image_encoder", params, stats, x, train, update)
+        if "share_code" in self.network_type:
+            z_i = z_s
+        elif "w_o_filter" in self.network_type:
+            z_s = z_i
+        return (z_i, z_s), stats
+
+    def decode_image(self, params, stats, z_i, train=False, update=False):
+        return self._run("image_decoder", params, stats, z_i, train, update)
+
+    def decode_segmentation(self, params, stats, z_s, train=False, update=False):
+        return self._run("segmentation_decoder", params, stats, z_s, train, update)
+
+    def decode_segmentation_from_image_code(self, params, stats, z_i,
+                                            train=False, update=False):
+        """z_i -> filter_code -> segmentation (advanced...py:208-221)."""
+        z_s, stats = self._run("image_encoder", params, stats, z_i, train, update,
+                               method=DualBranchEncoder.filter_code)
+        return self.decode_segmentation(params, stats, z_s, train, update)
+
+    def encode_shape(self, params, stats, segmentation, is_label_map=False,
+                     train=False, update=False, rng=None, smooth_label=False):
+        """STN encoder on temperature-softmaxed logits / one-hot labels
+        (advanced...py:233-246; construct_input basic_operations.py:110-158)."""
+        prediction_map = construct_input(
+            segmentation, num_classes=self.num_classes,
+            apply_softmax=not is_label_map, is_labelmap=is_label_map,
+            temperature=self.temperature, smooth_label=smooth_label, rng=rng)
+        return self._run("shape_encoder", params, stats, prediction_map, train, update)
+
+    def decode_shape(self, params, stats, z, train=False, update=False):
+        return self._run("shape_decoder", params, stats, z, train, update)
+
+    def recon_shape(self, params, stats, segmentation, is_label_map=False,
+                    train=False, update=False):
+        """STN refinement S' -> STN(S') (advanced...py:262-269)."""
+        z, stats = self.encode_shape(params, stats, segmentation, is_label_map,
+                                     train, update)
+        return self.decode_shape(params, stats, z, train, update)
+
+    def fast_predict(self, params, stats, x, train=False, update=False):
+        """((z_i, z_s), y0) (advanced...py:561-601)."""
+        (z_i, z_s), stats = self.encode_image(params, stats, x, train, update)
+        y0, stats = self.decode_segmentation(params, stats, z_s, train, update)
+        return (z_i, z_s), y0, stats
+
+    # --------------------------------------------------------- training math
+    def standard_training(self, params, stats, clean_image, label, perturbed_image,
+                          separate_training=False, compute_gt_recon=True,
+                          update_stats=True):
+        """The 4 standard losses (advanced...py:414-467).  Returns
+        (losses_dict, (z_i, z_s), new_stats)."""
+        train = True
+        (z_i, z_s), y0, stats = self.fast_predict(
+            params, stats, perturbed_image, train=train, update=update_stats)
+        seg_loss = L.cross_entropy_2d(y0, label)
+
+        image_recon, stats = self.decode_image(params, stats, z_i, train, update_stats)
+        image_recon_loss = 0.5 * jnp.mean((image_recon - clean_image) ** 2)
+
+        if compute_gt_recon:
+            gt_recon, stats = self.recon_shape(
+                params, stats, label, is_label_map=True, train=train,
+                update=update_stats)
+            gt_shape_recon_loss = L.cross_entropy_2d(gt_recon, label)
+        else:
+            gt_shape_recon_loss = jnp.zeros(())
+
+        y0_in = jax.lax.stop_gradient(y0) if separate_training else y0
+        p_recon, stats = self.recon_shape(params, stats, y0_in, is_label_map=False,
+                                          train=train, update=update_stats)
+        pred_shape_recon_loss = L.cross_entropy_2d(p_recon, label)
+        out = {
+            "seg": seg_loss,
+            "image": image_recon_loss,
+            "gt_shape": gt_shape_recon_loss,
+            "shape": pred_shape_recon_loss,
+        }
+        return out, (z_i, z_s), stats
+
+    def _frozen_decoder_fn(self, name: str, params, stats) -> Callable:
+        """Decoder closure for masking: stop-gradiented params (set_grad False,
+        advanced...py:486-487), batch-stat normalization, no stat updates."""
+        frozen = jax.lax.stop_gradient(params[name])
+        frozen_stats = stats[name]
+
+        def fn(z):
+            out, _ = self.modules[name].apply(
+                {"params": frozen, "batch_stats": frozen_stats}, z,
+                train=True, mutable=["batch_stats"])
+            return out
+
+        return fn
+
+    def hard_example_generation(self, params, stats, z_i, z_s, clean_image, label,
+                                rng, latent_da: LatentDAConfig):
+        """Perturb cached latents -> (perturbed_image, perturbed_seg)
+        (advanced...py:469-523).  Outputs are stop-gradiented constants."""
+        k_img, k_seg = jax.random.split(rng)
+        perturbed_image = None
+        perturbed_seg = None
+        if latent_da.gen_corrupted_image:
+            dec = self._frozen_decoder_fn("image_decoder", params, stats)
+            masked_zi = masking.perturb_latent_code(
+                jax.lax.stop_gradient(z_i), dec, clean_image, k_img,
+                _mask_settings(latent_da.image_code), num_classes=self.num_classes)
+            perturbed_image = jax.lax.stop_gradient(dec(masked_zi))
+        if latent_da.gen_corrupted_seg:
+            dec = self._frozen_decoder_fn("segmentation_decoder", params, stats)
+            masked_zs = masking.perturb_latent_code(
+                jax.lax.stop_gradient(z_s), dec, label, k_seg,
+                _mask_settings(latent_da.shape_code), num_classes=self.num_classes)
+            perturbed_seg = jax.lax.stop_gradient(dec(masked_zs))
+        return perturbed_image, perturbed_seg
+
+    def hard_example_training(self, params, stats, perturbed_image, clean_image,
+                              perturbed_seg, label, separate_training=False):
+        """The 4 hard losses (advanced...py:525-559); BN stats frozen."""
+        zero = jnp.zeros(())
+        out = {"seg": zero, "image": zero, "shape": zero, "perturbed_shape": zero}
+        if perturbed_image is not None:
+            std, _, _ = self.standard_training(
+                params, stats, clean_image, label,
+                perturbed_image=jax.lax.stop_gradient(perturbed_image),
+                separate_training=separate_training, compute_gt_recon=False,
+                update_stats=False)
+            out["seg"], out["image"], out["shape"] = std["seg"], std["image"], std["shape"]
+        if perturbed_seg is not None:
+            seg_in = jax.lax.stop_gradient(perturbed_seg)
+            p_recon, _ = self.recon_shape(params, stats, seg_in, is_label_map=False,
+                                          train=True, update=False)
+            out["perturbed_shape"] = L.cross_entropy_2d(p_recon, label)
+        return out
+
+    # ----------------------------------------------------------- train step
+    def make_train_step(self, latent_da: Optional[LatentDAConfig] = None,
+                        separate_training: bool = False,
+                        input_noise_std: float = 0.05,
+                        donate: bool = True):
+        """Build the fused jitted cooperative train step.
+
+        Collapses the reference's per-iteration sequence
+        (train_adv_supervised_segmentation_triplet.py:171-235): noise
+        injection, standard_training, hard_example_generation,
+        hard_example_training, single backward over the summed loss, and the
+        5-optimizer step — into one XLA graph.
+        """
+        use_latent_da = latent_da is not None and (
+            latent_da.gen_corrupted_image or latent_da.gen_corrupted_seg)
+
+        def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+            clean_image = batch["image"]
+            label = batch["label"]
+            k_noise, k_da = jax.random.split(rng)
+            noise = input_noise_std * jax.random.normal(
+                k_noise, clean_image.shape, clean_image.dtype)
+            noised_image = jnp.clip(clean_image + noise, 0.0, 1.0)
+
+            def loss_fn(params):
+                std, (z_i, z_s), stats = self.standard_training(
+                    params, state.batch_stats, clean_image, label, noised_image,
+                    separate_training=separate_training, compute_gt_recon=True,
+                    update_stats=True)
+                standard_loss = std["seg"] + std["image"] + std["shape"] + std["gt_shape"]
+
+                metrics = {
+                    "loss/standard/total": standard_loss,
+                    "loss/standard/seg": std["seg"],
+                    "loss/standard/image": std["image"],
+                    "loss/standard/shape": std["shape"],
+                    "loss/standard/gt_shape": std["gt_shape"],
+                }
+                if use_latent_da:
+                    perturbed_image, perturbed_seg = self.hard_example_generation(
+                        params, stats, z_i, z_s,
+                        jax.lax.stop_gradient(clean_image), label, k_da, latent_da)
+                    hard = self.hard_example_training(
+                        params, stats, perturbed_image, clean_image, perturbed_seg,
+                        label, separate_training=separate_training)
+                    hard_loss = (hard["seg"] + hard["image"] + hard["shape"]
+                                 + hard["perturbed_shape"])
+                    metrics.update({
+                        "loss/hard/total": hard_loss,
+                        "loss/hard/seg": hard["seg"],
+                        "loss/hard/image": hard["image"],
+                        "loss/hard/shape": hard["shape"] + hard["perturbed_shape"],
+                    })
+                else:
+                    zero = jnp.zeros(())
+                    hard_loss = zero
+                    metrics.update({
+                        "loss/hard/total": zero, "loss/hard/seg": zero,
+                        "loss/hard/image": zero, "loss/hard/shape": zero,
+                    })
+                total = standard_loss + hard_loss
+                metrics["loss/total"] = total
+                return total, (metrics, stats)
+
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params, batch_stats=new_stats, opt_state=new_opt,
+                step=state.step + 1)
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    # ----------------------------------------------------------- inference
+    def predict(self, params, stats, x, n_iter: Optional[int] = None,
+                softmax: bool = False):
+        """FTN prediction + (n_iter-1) STN refinements (advanced...py:375-394).
+
+        Note: the reference's inner slow_refinement loop re-applies the STN to
+        the SAME input logits n_steps times (advanced...py:627-629), so the
+        effective refinement count equals the outer predict loop's n_iter-1;
+        we implement that effective behavior directly.
+        """
+        if n_iter is None:
+            n_iter = self.n_iter
+        _, pred, _ = self.fast_predict(params, stats, x, train=False)
+        for _ in range(max(0, n_iter - 1)):
+            pred, _ = self.recon_shape(params, stats,
+                                       jax.lax.stop_gradient(pred),
+                                       is_label_map=False, train=False)
+        if softmax:
+            pred = jax.nn.softmax(pred, axis=-1)
+        return pred
+
+    def make_predict(self, n_iter: Optional[int] = None, softmax: bool = False):
+        fn = partial(self.predict, n_iter=n_iter, softmax=softmax)
+        return jax.jit(lambda params, stats, x: fn(params, stats, x))
+
+    def slow_refinement(self, params, stats, pred_logit, n_steps: int = 1,
+                        auto_stop: bool = False, tol: float = 1e-4):
+        """Iterative STN refinement with optional RMS-diff early stop
+        (advanced...py:608-641), as a lax.while_loop (jit-safe)."""
+
+        def cond(carry):
+            i, s_t, prev, diff = carry
+            not_done = i < n_steps
+            if auto_stop:
+                return jnp.logical_and(not_done, diff >= tol)
+            return not_done
+
+        def body(carry):
+            i, s_t, prev, _ = carry
+            new, _ = self.recon_shape(params, stats, jax.lax.stop_gradient(s_t),
+                                      is_label_map=False, train=False)
+            diff = jnp.sqrt(jnp.mean((new - s_t) ** 2))
+            return (i + 1, new, s_t, diff)
+
+        init = (jnp.zeros((), jnp.int32), pred_logit, pred_logit,
+                jnp.asarray(jnp.inf, pred_logit.dtype))
+        _, s_t, _, _ = jax.lax.while_loop(cond, body, init)
+        return s_t
+
+    def get_recon_diff(self, params, stats, x):
+        """|I - I'|, |S1 - S0|, S0, S1, I' (advanced...py:352-373)."""
+        (z_i, z_s), first, _ = self.fast_predict(params, stats, x, train=False)
+        refined, _ = self.recon_shape(params, stats, first, is_label_map=False,
+                                      train=False)
+        recon_image, _ = self.decode_image(params, stats, z_i, train=False)
+        return (jnp.abs(x - recon_image), jnp.abs(refined - first),
+                first, refined, recon_image)
+
+    # --------------------------------------------------------- persistence
+    def save_model(self, state: TrainState, save_dir: str, epoch_iter,
+                   save_optimizers: bool = False):
+        """Per-submodule serialized params under
+        {save_dir}/{epoch}/checkpoints/{module}.msgpack
+        (mirrors advanced...py:666-678's per-module .pth layout)."""
+        epoch_path = join(save_dir, str(epoch_iter), "checkpoints")
+        os.makedirs(epoch_path, exist_ok=True)
+        for name in MODULE_NAMES:
+            blob = serialization.to_bytes(
+                {"params": state.params[name], "batch_stats": state.batch_stats[name]})
+            with open(join(epoch_path, f"{name}.msgpack"), "wb") as f:
+                f.write(blob)
+        if save_optimizers:
+            with open(join(epoch_path, "optimizer.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(state.opt_state))
+
+    def load_model(self, state: TrainState, checkpoint_dir: str) -> TrainState:
+        """Load per-submodule files saved by save_model (advanced...py:107-131)."""
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        for name in MODULE_NAMES:
+            path = join(checkpoint_dir, f"{name}.msgpack")
+            with open(path, "rb") as f:
+                target = {"params": state.params[name],
+                          "batch_stats": state.batch_stats[name]}
+                restored = serialization.from_bytes(target, f.read())
+            params[name] = restored["params"]
+            stats[name] = restored["batch_stats"]
+        return state.replace(params=params, batch_stats=stats)
+
+    def save_snapshots(self, state: TrainState, save_dir: str, epoch: int) -> str:
+        """Monolithic crash/resume snapshot (advanced...py:680-701):
+        {network_type, epoch, full train-state bytes}."""
+        epoch_path = join(save_dir, "interrupted", "checkpoints")
+        os.makedirs(epoch_path, exist_ok=True)
+        save_path = join(epoch_path, self.network_type + ".pkl")
+        payload = {
+            "network_type": self.network_type,
+            "epoch": int(epoch),
+            "state": serialization.to_bytes(state),
+        }
+        with open(save_path, "wb") as f:
+            pickle.dump(payload, f)
+        return save_path
+
+    def load_snapshots(self, state: TrainState, file_path: Optional[str]
+                       ) -> Tuple[TrainState, int]:
+        """Resume from snapshot; returns (state, start_epoch)
+        (advanced...py:703-738)."""
+        if not file_path or not os.path.exists(file_path):
+            if file_path:
+                print(f"warning: {file_path} does not exist")
+            return state, 0
+        with open(file_path, "rb") as f:
+            payload = pickle.load(f)
+        assert payload["network_type"] == self.network_type, (
+            payload["network_type"], self.network_type)
+        restored = serialization.from_bytes(state, payload["state"])
+        return restored, int(payload["epoch"])

@@ -9,7 +9,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# XLA-CPU's space-to-batch pass hits an internal CHECK (shape_inference.cc)
+# when compiling the fused cooperative train step's conv graph; disable it
+# (correctness-neutral: it is a layout optimization).
+if "space-to-batch-converter" not in _flags:
+    _flags += " --xla_disable_hlo_passes=space-to-batch-converter"
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,148 @@
+"""Tests for the on-device augmentation pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops import augment as A
+
+
+def _sample(hw=(200, 180), seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(*hw, 1).astype(np.float32)
+    lbl = np.zeros(hw, np.int32)
+    lbl[50:120, 60:130] = 1
+    lbl[70:100, 80:110] = 2
+    return jnp.asarray(img), jnp.asarray(lbl)
+
+
+def test_policy_registry_complete():
+    # all ~22 reference policies resolvable (transform.py:16-42)
+    for name in ["no_aug", "gamma", "gamma_scale", "affine", "scale", "elastic",
+                 "elastic_scale", "gamma_elastic", "affine_elastic",
+                 "affine_gamma", "affine_gamma_elastic", "ACDC_affine",
+                 "ACDC_affine_perturb", "ACDC_affine_perturb_v2",
+                 "ACDC_affine_elastic", "ACDC_affine_intensity",
+                 "ACDC_affine_elastic_intensity",
+                 "ACDC_affine_elastic_intensity_v2", "ACDC_affine_elastic_bias",
+                 "ACDC_affine_all", "Atrial_basic", "Atrial_perturb",
+                 "Prostate_affine_elastic_intensity", "elastic_v2"]:
+        assert A.get_policy(name) is not None
+    with pytest.raises(KeyError):
+        A.get_policy("nope")
+
+
+def test_no_aug_is_identity_up_to_crop_norm():
+    img, lbl = _sample()
+    out_img, out_lbl = A.augment_sample(
+        jax.random.PRNGKey(0), img, lbl, A.get_policy("no_aug"),
+        pad_hw=(224, 224), crop_hw=(192, 192))
+    assert out_img.shape == (192, 192, 1)
+    assert out_lbl.shape == (192, 192)
+    # pure pad+crop+minmax: a second run is identical
+    out_img2, out_lbl2 = A.augment_sample(
+        jax.random.PRNGKey(1), img, lbl, A.get_policy("no_aug"),
+        pad_hw=(224, 224), crop_hw=(192, 192))
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(out_img2))
+    np.testing.assert_array_equal(np.asarray(out_lbl), np.asarray(out_lbl2))
+    assert float(out_img.min()) >= 0 and float(out_img.max()) <= 1 + 1e-5
+
+
+def test_acdc_policy_output_valid():
+    img, lbl = _sample()
+    policy = A.get_policy("ACDC_affine_elastic_intensity")
+    seen_diff = False
+    base = None
+    for seed in range(4):
+        oi, ol = A.augment_sample(jax.random.PRNGKey(seed), img, lbl, policy)
+        oi, ol = np.asarray(oi), np.asarray(ol)
+        assert oi.shape == (192, 192, 1) and ol.shape == (192, 192)
+        assert np.isfinite(oi).all()
+        assert oi.min() >= -1e-5 and oi.max() <= 1 + 1e-5
+        assert set(np.unique(ol)).issubset({0, 1, 2, 3})
+        if base is None:
+            base = oi
+        elif not np.allclose(base, oi):
+            seen_diff = True
+    assert seen_diff, "augmentation must vary across seeds"
+
+
+def test_label_geometry_follows_image():
+    """A strong zoom must scale the labeled area accordingly."""
+    img, lbl = _sample(hw=(224, 224))
+    policy = A.AugmentPolicy(scale_val=(2.0, 2.0))  # fixed 2x zoom
+    oi, ol = A.augment_sample(jax.random.PRNGKey(0), img, lbl, policy)
+    area_before = float((np.asarray(lbl) > 0).mean())
+    area_after = float((np.asarray(ol) > 0).mean())
+    crop_ratio = (192 * 192) / (224 * 224)
+    expected = area_before * 4 / crop_ratio  # zoom 2x doubles linear size
+    assert area_after == pytest.approx(min(expected, 1.0), rel=0.25)
+
+
+def test_flip_probability_zero_and_one():
+    img, lbl = _sample(hw=(32, 32))
+    p_no = A.AugmentPolicy(flip_h=True, flip_v=False, flip_p=0.0)
+    i1, l1 = A.random_flip(jax.random.PRNGKey(0), img, lbl, p_no)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(img))
+    p_yes = A.AugmentPolicy(flip_h=True, flip_v=False, flip_p=1.0)
+    i2, l2 = A.random_flip(jax.random.PRNGKey(0), img, lbl, p_yes)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(img)[:, ::-1])
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(lbl)[:, ::-1])
+
+
+def test_brightness_contrast_preserves_range():
+    img, _ = _sample(hw=(32, 32))
+    policy = A.AugmentPolicy()
+    out = A.brightness_contrast(jax.random.PRNGKey(0), img, policy)
+    assert float(out.min()) >= float(img.min()) - 1e-6
+    assert float(out.max()) <= float(img.max()) + 1e-6
+
+
+def test_bias_fields_bounded():
+    img, _ = _sample(hw=(64, 64))
+    p1 = A.AugmentPolicy(multi_control_points=(2, 4), max_sigma=8,
+                         perturb_magnitude=0.3, add_noise=True)
+    out = A.bias_field_v1(jax.random.PRNGKey(0), img, p1)
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 1 + 1e-5
+    p2 = A.AugmentPolicy(ms_control_point_spacing=(16,), perturb_v2_magnitude=0.3)
+    out2 = A.bias_field_v2(jax.random.PRNGKey(0), img, p2)
+    assert np.asarray(out2).min() >= 0 and np.asarray(out2).max() <= 1 + 1e-5
+    assert not np.allclose(np.asarray(out2), np.asarray(img))
+
+
+def test_fft_gaussian_blur_smooths():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+    y = A.fft_gaussian_blur(x, jnp.asarray(5.0))
+    # preserves mean, reduces variance
+    assert float(jnp.mean(y)) == pytest.approx(float(jnp.mean(x)), abs=1e-4)
+    assert float(jnp.var(y)) < 0.2 * float(jnp.var(x))
+
+
+def test_percentile_normalize():
+    x = jnp.asarray(np.linspace(-5, 10, 100, dtype=np.float32).reshape(10, 10))
+    y = A.percentile_normalize(x)
+    assert float(y.min()) == pytest.approx(0.0, abs=1e-5)
+    assert float(y.max()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_batch_augment_jit():
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 224, 224, 1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, (4, 224, 224)).astype(np.int32))
+    run = A.make_batch_augment("ACDC_affine", pad_hw=(224, 224), crop_hw=(192, 192))
+    out_i, out_l = run(jax.random.PRNGKey(0), images, labels)
+    assert out_i.shape == (4, 192, 192, 1)
+    assert out_l.shape == (4, 192, 192)
+    # per-sample keys -> samples get different transforms
+    assert not np.allclose(np.asarray(out_i[0]), np.asarray(out_i[1]))
+
+
+def test_eval_transform_batch():
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 200, 210, 1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, (2, 200, 210)).astype(np.int32))
+    run = A.make_batch_eval_transform()
+    oi, ol = run(images, labels)
+    assert oi.shape == (2, 192, 192, 1) and ol.shape == (2, 192, 192)

@@ -1,0 +1,193 @@
+"""End-to-end tests of the cooperative FTN+STN solver at tiny resolution
+(32x32 -> 2x2 latent) so CPU compiles stay fast."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+    LatentDAConfig,
+    MaskConfig,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+    MODULE_NAMES,
+    CooperativeTripletSolver,
+)
+
+
+@pytest.fixture(scope="module")
+def solver():
+    return CooperativeTripletSolver(num_classes=4, image_ch=1, input_hw=(32, 32))
+
+
+@pytest.fixture(scope="module")
+def state(solver):
+    return solver.init_state(jax.random.PRNGKey(0))
+
+
+def _batch(n=2, hw=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": jnp.asarray(rng.rand(n, hw, hw, 1).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (n, hw, hw)).astype(np.int32)),
+    }
+
+
+def test_state_structure(solver, state):
+    assert set(state.params.keys()) == set(MODULE_NAMES)
+    assert set(state.batch_stats.keys()) == set(MODULE_NAMES)
+
+
+def test_fast_predict_shapes(solver, state):
+    batch = _batch()
+    (z_i, z_s), y0, _ = solver.fast_predict(state.params, state.batch_stats,
+                                            batch["image"])
+    assert z_i.shape == (2, 2, 2, 128)
+    assert z_s.shape == (2, 2, 2, 128)
+    assert y0.shape == (2, 32, 32, 4)
+
+
+def test_standard_training_losses(solver, state):
+    batch = _batch()
+    out, (z_i, z_s), new_stats = solver.standard_training(
+        state.params, state.batch_stats, batch["image"], batch["label"],
+        batch["image"])
+    for k in ["seg", "image", "gt_shape", "shape"]:
+        assert np.isfinite(float(out[k])), k
+        assert float(out[k]) >= 0
+    # stats must have been updated by the standard pass
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    after = jax.tree_util.tree_leaves(new_stats)
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_hard_example_generation(solver, state):
+    batch = _batch()
+    (z_i, z_s), _, _ = solver.fast_predict(state.params, state.batch_stats,
+                                           batch["image"], train=True)
+    lda = LatentDAConfig()
+    p_img, p_seg = solver.hard_example_generation(
+        state.params, state.batch_stats, z_i, z_s, batch["image"], batch["label"],
+        jax.random.PRNGKey(0), lda)
+    assert p_img.shape == (2, 32, 32, 1)
+    assert p_seg.shape == (2, 32, 32, 4)
+    assert np.isfinite(np.asarray(p_img)).all()
+    # image decoder output is sigmoid-bounded
+    assert np.asarray(p_img).min() >= 0 and np.asarray(p_img).max() <= 1
+
+
+@pytest.mark.parametrize("latent_da", [None, LatentDAConfig()])
+def test_train_step_runs_and_learns(solver, latent_da):
+    state = solver.init_state(jax.random.PRNGKey(0))
+    step = solver.make_train_step(latent_da=latent_da, donate=False)
+    batch = _batch(n=4)
+    metrics_first = None
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        if metrics_first is None:
+            metrics_first = {k: float(v) for k, v in metrics.items()}
+    # all 9 named scalars exist (train...py:164-166)
+    for k in ["loss/standard/total", "loss/standard/seg", "loss/standard/image",
+              "loss/standard/shape", "loss/standard/gt_shape", "loss/hard/total",
+              "loss/hard/seg", "loss/hard/image", "loss/hard/shape"]:
+        assert k in metrics
+        assert np.isfinite(float(metrics[k]))
+    # loss decreases on a fixed batch after a few Adam steps
+    assert float(metrics["loss/standard/total"]) < metrics_first["loss/standard/total"]
+    if latent_da is not None:
+        assert float(metrics["loss/hard/total"]) > 0
+    else:
+        assert float(metrics["loss/hard/total"]) == 0
+    assert int(state.step) == 6
+
+
+def test_separate_training_blocks_stn_to_ftn_grads(solver):
+    """separate_training=True must stop STN loss gradients from reaching the
+    FTN encoder through y0 (advanced...py:458-466)."""
+    state = solver.init_state(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    def shape_loss_only(params, separate):
+        out, _, _ = solver.standard_training(
+            params, state.batch_stats, batch["image"], batch["label"],
+            batch["image"], separate_training=separate, compute_gt_recon=False)
+        return out["shape"]
+
+    g_joint = jax.grad(shape_loss_only)(state.params, False)
+    g_sep = jax.grad(shape_loss_only)(state.params, True)
+    enc_joint = jax.tree_util.tree_leaves(g_joint["image_encoder"])
+    enc_sep = jax.tree_util.tree_leaves(g_sep["image_encoder"])
+    assert any(np.abs(g).max() > 0 for g in enc_joint)
+    assert all(np.abs(g).max() == 0 for g in enc_sep)
+    # STN grads flow in both cases
+    assert any(np.abs(g).max() > 0 for g in jax.tree_util.tree_leaves(g_sep["shape_encoder"]))
+
+
+def test_generation_gets_no_param_grads(solver):
+    """Hard-example generation must not inject grads into the decoders used
+    for generation beyond the hard-training loss itself: with hard losses
+    removed, generation alone yields zero grads."""
+    state = solver.init_state(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    def gen_only(params):
+        (z_i, z_s), _, _ = solver.fast_predict(params, state.batch_stats,
+                                               batch["image"], train=True)
+        p_img, p_seg = solver.hard_example_generation(
+            params, state.batch_stats, z_i, z_s, batch["image"], batch["label"],
+            jax.random.PRNGKey(0), LatentDAConfig())
+        return jnp.sum(p_img) + jnp.sum(p_seg)
+
+    g = jax.grad(gen_only)(state.params)
+    assert all(np.abs(x).max() == 0 for x in jax.tree_util.tree_leaves(g))
+
+
+def test_predict_n_iter(solver, state):
+    batch = _batch()
+    p1 = solver.predict(state.params, state.batch_stats, batch["image"], n_iter=1)
+    p2 = solver.predict(state.params, state.batch_stats, batch["image"], n_iter=2)
+    assert p1.shape == p2.shape == (2, 32, 32, 4)
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
+    soft = solver.predict(state.params, state.batch_stats, batch["image"],
+                          n_iter=2, softmax=True)
+    np.testing.assert_allclose(np.asarray(soft).sum(-1), 1.0, atol=1e-5)
+
+
+def test_slow_refinement_auto_stop(solver, state):
+    batch = _batch()
+    _, pred, _ = solver.fast_predict(state.params, state.batch_stats, batch["image"])
+    refined = solver.slow_refinement(state.params, state.batch_stats, pred,
+                                     n_steps=3, auto_stop=True)
+    assert refined.shape == pred.shape
+    assert np.isfinite(np.asarray(refined)).all()
+
+
+def test_network_variants():
+    """share_code: z_i == z_s; w_o_filter: z_s == z_i (advanced...py:199-203)."""
+    batch = _batch()
+    for nt, eq in [("FCN_16_standard_share_code", True),
+                   ("FCN_16_standard_w_o_filter", True),
+                   ("FCN_16_standard", False)]:
+        s = CooperativeTripletSolver(network_type=nt, input_hw=(32, 32))
+        st = s.init_state(jax.random.PRNGKey(0))
+        (z_i, z_s), _, _ = s.fast_predict(st.params, st.batch_stats, batch["image"])
+        same = np.allclose(np.asarray(z_i), np.asarray(z_s))
+        assert same == eq, nt
+
+
+def test_checkpoint_roundtrip(solver, tmp_path):
+    state = solver.init_state(jax.random.PRNGKey(1))
+    solver.save_model(state, str(tmp_path), "best")
+    state2 = solver.init_state(jax.random.PRNGKey(2))
+    restored = solver.load_model(state2, str(tmp_path / "best" / "checkpoints"))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # snapshot roundtrip with epoch
+    path = solver.save_snapshots(state, str(tmp_path), epoch=42)
+    restored2, epoch = solver.load_snapshots(state2, path)
+    assert epoch == 42
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

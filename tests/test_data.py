@@ -1,0 +1,190 @@
+"""Tests for splits (golden ID lists), NIfTI/NRRD IO, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.data import (
+    SyntheticSegDataset,
+    get_ACDC_split_policy,
+    get_UKBB_split_policy,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.base import (
+    ConcatDataset,
+    formulate_labels,
+    label_remap_dict,
+    pad_or_crop_to,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.nifti import (
+    read_nifti,
+    read_nrrd,
+    write_nifti,
+    write_nrrd,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.preprocess import (
+    normalize_minmax_data,
+    resample_by_spacing,
+    swap_labels_acdc,
+)
+
+
+# ----------------------------------------------------------------- splits
+def test_split_test_list_exact():
+    # ACDC_few_shot_cv_settings.py:24-28 fixed 20-patient test list
+    policy = get_ACDC_split_policy("standard", 0)
+    assert policy["test"] == ["007", "008", "009", "010", "027", "028", "029",
+                              "030", "047", "048", "049", "050", "067", "068",
+                              "069", "070", "087", "088", "089", "090"]
+    assert len(policy["train"]) == 70
+    assert len(policy["validate"]) == 10
+
+
+def test_split_numeric_identifier_deterministic():
+    # "10" draws 10 patients from the fixed 40-pool with random_state=cval
+    # via sklearn.train_test_split — exactly like the reference (:74-103).
+    from sklearn.model_selection import train_test_split
+
+    pool = ["001", "002", "003", "004", "005", "006", "012", "013",
+            "021", "022", "023", "024", "025", "026", "032", "033",
+            "041", "042", "043", "044", "045", "046", "052", "053",
+            "061", "062", "063", "064", "065", "066", "072", "073",
+            "081", "082", "083", "084", "085", "086", "092", "093"]
+    for cval in range(3):
+        expected, _ = train_test_split(pool, train_size=10, random_state=cval)
+        policy = get_ACDC_split_policy("10", cval)
+        assert policy["train"] == expected
+        assert len(policy["unlabelled"]) == 25
+        # no leakage between train and test
+        assert not set(policy["train"]) & set(policy["test"])
+
+
+def test_split_shot_settings():
+    assert get_ACDC_split_policy("one_shot", 0)["train"] == ["002"]
+    assert get_ACDC_split_policy("one_shot", 3)["train"] == ["062"]
+    assert get_ACDC_split_policy("three_shot", 4)["train"] == ["002", "042", "095"]
+    ub = get_ACDC_split_policy("three_shot_upperbound", 0)
+    assert len(ub["train"]) == 3 + 25
+    v = get_ACDC_split_policy("one_shot", 1)["validate"]
+    assert v[:2] == ["011", "071"]
+
+
+def test_ukbb_split():
+    p = get_UKBB_split_policy("three_shot", 4)
+    assert len(p["train"]) == 3
+    assert len(p["test"]) == 100
+    # deterministic per cval
+    assert p["train"] == get_UKBB_split_policy("three_shot", 4)["train"]
+
+
+# --------------------------------------------------------------------- io
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    vol = rng.rand(5, 32, 40).astype(np.float32)
+    path = str(tmp_path / "vol.nii.gz")
+    write_nifti(path, vol, spacing=(1.25, 1.5, 8.0))
+    back, spacing = read_nifti(path)
+    np.testing.assert_allclose(back, vol, rtol=1e-6)
+    assert spacing == pytest.approx((1.25, 1.5, 8.0))
+    # uncompressed too
+    path2 = str(tmp_path / "vol.nii")
+    write_nifti(path2, (vol * 100).astype(np.int16), spacing=(1, 1, 1))
+    back2, _ = read_nifti(path2)
+    np.testing.assert_array_equal(back2, (vol * 100).astype(np.int16))
+
+
+def test_nrrd_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    vol = rng.randint(0, 4, (7, 24, 24)).astype(np.int16)
+    path = str(tmp_path / "seg.nrrd")
+    write_nrrd(path, vol, spacing=(1.36719, 1.36719, 10.0))
+    back, spacing = read_nrrd(path)
+    np.testing.assert_array_equal(back, vol)
+    assert spacing[0] == pytest.approx(1.36719)
+    write_nrrd(str(tmp_path / "raw.nrrd"), vol.astype(np.float32), encoding="raw")
+    back2, _ = read_nrrd(str(tmp_path / "raw.nrrd"))
+    np.testing.assert_allclose(back2, vol.astype(np.float32))
+
+
+# ------------------------------------------------------------- preprocess
+def test_normalize_minmax():
+    x = np.linspace(0, 1000, 10000).reshape(10, 100, 10)
+    y = normalize_minmax_data(x)
+    assert y.min() == 0.0 and y.max() == 1.0
+    assert 0.4 < y.mean() < 0.6
+
+
+def test_resample_by_spacing_inplane_only():
+    vol = np.ones((4, 100, 100), np.float32)
+    out = resample_by_spacing(vol, (2.0, 2.0, 8.0), (1.0, 1.0, -1.0), order=1)
+    assert out.shape[0] == 4  # z untouched
+    assert out.shape[1] == 200 and out.shape[2] == 200
+
+
+def test_swap_labels():
+    lbl = np.array([0, 1, 2, 3])
+    np.testing.assert_array_equal(swap_labels_acdc(lbl), [0, 3, 2, 1])
+
+
+def test_label_remap_modes():
+    lbl = np.array([[0, 1], [2, 3]])
+    np.testing.assert_array_equal(
+        formulate_labels(lbl, label_remap_dict(myocardium_only=True)),
+        [[0, 0], [1, 0]])
+    np.testing.assert_array_equal(
+        formulate_labels(lbl, label_remap_dict(right_ventricle_only=True)),
+        [[0, 0], [0, 1]])
+    assert label_remap_dict() is None
+
+
+# --------------------------------------------------------------- datasets
+def test_synthetic_dataset():
+    ds = SyntheticSegDataset(length=8, pad_size=(64, 64))
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 1)
+    assert s["label"].shape == (64, 64)
+    assert s["image"].dtype == np.float32
+    assert set(np.unique(s["label"])).issubset({0, 1, 2, 3})
+    # cache returns the same object
+    assert ds[0] is ds[0]
+    vol_img, vol_lbl = ds.get_patient_data_for_testing(0, crop_size=(48, 48))
+    assert vol_img.shape == (10, 48, 48, 1)
+    assert vol_lbl.shape == (10, 48, 48)
+
+
+def test_concat_dataset():
+    d1 = SyntheticSegDataset(length=5, pad_size=(32, 32), seed=1)
+    d2 = SyntheticSegDataset(length=7, pad_size=(32, 32), seed=2)
+    cat = ConcatDataset([d1, d2])
+    assert len(cat) == 12
+    np.testing.assert_array_equal(cat[6]["label"], d2[1]["label"])
+    assert cat.get_patient_num() == 6
+    assert cat.get_id(4) == d2.get_id(1)
+
+
+def test_pad_or_crop():
+    x = np.ones((100, 250))
+    y = pad_or_crop_to(x, (224, 224))
+    assert y.shape == (224, 224)
+    assert y.sum() == 100 * 224  # padded rows are zero
+
+
+def test_loader_batching():
+    import jax
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        CooperativeBatcher,
+        EvalBatcher,
+    )
+
+    ds = SyntheticSegDataset(length=10, pad_size=(64, 64))
+    batcher = CooperativeBatcher(ds, batch_size=4, policy_name="no_aug",
+                                 pad_hw=(64, 64), crop_hw=(48, 48),
+                                 keep_orig=True, seed=0)
+    batches = list(batcher.epoch(jax.random.PRNGKey(0)))
+    assert len(batches) == 5  # 10 samples / raw_bs 2
+    b = batches[0]
+    assert b["image"].shape == (4, 48, 48, 1)  # 2 aug + 2 orig
+    assert b["label"].shape == (4, 48, 48)
+    ev = EvalBatcher(ds, batch_size=5, pad_hw=(64, 64), crop_hw=(48, 48))
+    eb = next(iter(ev.epoch()))
+    assert eb["image"].shape == (5, 48, 48, 1)
