@@ -1,0 +1,104 @@
+"""Benchmark: cooperative training throughput (ACDC slices/sec/chip).
+
+Runs the FULL fused cooperative train step (noise injection, 4 standard
+losses, gradient-targeted latent masking + hard-example generation, 4 hard
+losses, Adam update over the 5 subnetworks) at the reference workload:
+batch 20 slices of 192x192x1, 4 classes, latent_DA on
+(config/ACDC/cooperative_training.json:41-67).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repo publishes no throughput numbers
+(BASELINE.md).  ``vs_baseline`` is therefore computed against a NOMINAL
+PyTorch single-GPU estimate of 100 slices/sec for the same 9-forward +
+1-backward cooperative iteration at batch 20 (mid-range V100/2080Ti-class
+estimate for this ~1.1M-param conv stack under eager torch with per-iter
+empty_cache/gc, train...py:160-233).  The BASELINE.json target of >=10x epoch
+throughput maps to vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# XLA-CPU space-to-batch pass workaround (see __graft_entry__.py); harmless
+# on TPU where the failing pass configuration is not triggered, but only
+# applied for host platforms to keep the TPU pipeline pristine.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "space-to-batch-converter" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_disable_hlo_passes=space-to-batch-converter").strip()
+
+import jax
+import jax.numpy as jnp
+
+NOMINAL_BASELINE_SLICES_PER_SEC = 100.0
+
+
+def main():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+        LatentDAConfig,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+        CooperativeTripletSolver,
+    )
+
+    n_devices = jax.device_count()
+    batch = 20  # reference batch size (cooperative_training.json:48)
+    if batch % n_devices:
+        batch = ((batch + n_devices - 1) // n_devices) * n_devices
+
+    solver = CooperativeTripletSolver(
+        network_type="FCN_16_standard", image_ch=1, num_classes=4,
+        input_hw=(192, 192))
+    state = solver.init_state(jax.random.PRNGKey(0))
+    step = solver.make_train_step(latent_da=LatentDAConfig(),
+                                  separate_training=False, donate=True)
+    if n_devices > 1:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+            make_mesh,
+            replicate,
+            shard_batch,
+            shard_train_step,
+        )
+
+        mesh = make_mesh()
+        state = replicate(mesh, state)
+        step = shard_train_step(step.__wrapped__, mesh, donate=True)
+
+    rng = jax.random.PRNGKey(1)
+    images = jax.random.uniform(jax.random.PRNGKey(2), (batch, 192, 192, 1))
+    labels = jax.random.randint(jax.random.PRNGKey(3), (batch, 192, 192), 0, 4)
+    data = {"image": images, "label": labels.astype(jnp.int32)}
+    if n_devices > 1:
+        data = shard_batch(mesh, data)
+
+    # warmup / compile
+    for i in range(3):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, data, k)
+    jax.block_until_ready(state.params)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, data, k)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = batch * n_steps / dt
+    per_chip = slices_per_sec / n_devices
+    print(json.dumps({
+        "metric": "ACDC cooperative-training slices/sec/chip (batch 20, 192x192, latent_DA on)",
+        "value": round(per_chip, 2),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(per_chip / NOMINAL_BASELINE_SLICES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Training CLI.
+
+Mirrors the reference entrypoint
+(``python medseg/train_adv_supervised_segmentation_triplet.py --json_config_path
+... --cval ... --data_setting ... --log --seed ...``, README.md:90-108,
+argparse at train...py:292-324), driving the TPU-native stack.
+
+Usage:
+    python cli/train.py --json_config_path configs/ACDC/cooperative_training.json \
+        --cval 0 --data_setting 10 --seed 40 --log
+    python cli/train.py --synthetic --max_epochs 2   # CPU-runnable smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+    ExperimentConfig,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
+    CardiacACDCDataset,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.base import (
+    ConcatDataset,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+    SyntheticSegDataset,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+    CooperativeTripletSolver,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.train.driver import (
+    experiment_dirs,
+    train_network,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.seed import (
+    set_seed,
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser("cooperative training (TPU)")
+    p.add_argument("--json_config_path", type=str, default=None)
+    p.add_argument("--cval", type=int, default=0)
+    p.add_argument("--data_setting", type=str, default="10")
+    p.add_argument("--save_dir", type=str, default="saved")
+    p.add_argument("--log", action="store_true")
+    p.add_argument("--seed", type=int, default=40)
+    p.add_argument("--resume_pkl_path", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic phantom dataset (CPU-runnable smoke)")
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard the batch over a data-parallel mesh")
+    return p.parse_args()
+
+
+def build_datasets(cfg: ExperimentConfig, args):
+    if args.synthetic:
+        train = SyntheticSegDataset(length=20, pad_size=cfg.data.pad_hw,
+                                    num_classes=cfg.data.num_classes, seed=0)
+        val = SyntheticSegDataset(length=10, pad_size=cfg.data.pad_hw,
+                                  num_classes=cfg.data.num_classes, seed=1)
+        return train, val
+    sets = {"train": [], "validate": []}
+    for split in sets:
+        for frame in cfg.data.frame:
+            sets[split].append(CardiacACDCDataset(
+                root_dir=cfg.data.root_dir, frame=frame, split=split,
+                data_setting=args.data_setting, cval=args.cval,
+                image_format_name=cfg.data.image_format_name,
+                label_format_name=cfg.data.label_format_name,
+                pad_size=cfg.data.pad_hw, num_classes=cfg.data.num_classes,
+                myocardium_only=cfg.data.myocardium_only,
+                right_ventricle_only=cfg.data.right_ventricle_only,
+                use_cache=cfg.data.use_cache, seed=args.seed))
+    return ConcatDataset(sets["train"]), ConcatDataset(sets["validate"])
+
+
+def main():
+    args = parse_args()
+    set_seed(args.seed)
+    cfg = (ExperimentConfig.from_json(args.json_config_path)
+           if args.json_config_path else ExperimentConfig())
+    config_name = (os.path.splitext(os.path.basename(args.json_config_path))[0]
+                   if args.json_config_path else "default")
+    train_set, val_set = build_datasets(cfg, args)
+    log_dir, model_dir = experiment_dirs(
+        args.save_dir, cfg.data.dataset_name, args.data_setting,
+        cfg.data.num_classes, config_name, args.cval)
+    solver = CooperativeTripletSolver(
+        network_type=cfg.segmentation_model.network_type,
+        image_ch=cfg.segmentation_model.image_ch,
+        num_classes=cfg.data.num_classes,
+        learning_rate=cfg.learning.lr,
+        encoder_dropout=cfg.segmentation_model.encoder_dropout,
+        decoder_dropout=cfg.segmentation_model.decoder_dropout,
+        input_hw=cfg.data.crop_hw)
+    mesh = None
+    if args.n_devices:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(args.n_devices)
+    state, best, last_epoch = train_network(
+        experiment_name=f"{config_name}_cv{args.cval}",
+        train_set=train_set, validate_set=val_set, solver=solver, cfg=cfg,
+        model_dir=model_dir, log_dir=log_dir, log=args.log, seed=args.seed,
+        resume_pkl_path=args.resume_pkl_path, mesh=mesh,
+        max_epochs=args.max_epochs)
+    print(f"done: best val Mean IoU {best:.4f} at epoch <= {last_epoch}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Cooperative/standard training driver (host epoch loop).
+
+Re-design of ``medseg/train_adv_supervised_segmentation_triplet.py``
+(train_network:81-288 + __main__ :292-452): epoch loop over the fused jitted
+train step, 9-scalar loss accounting, per-epoch validation with STN
+refinement (n_iter=2) and Mean-IoU model selection, best/periodic
+checkpoints with PNG dumps, max_iteration stop, crash/KeyboardInterrupt
+snapshots, and snapshot resume.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+    ExperimentConfig,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+    CooperativeBatcher,
+    EvalBatcher,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.eval.metrics import (
+    RunningScore,
+    print_metric,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+    CooperativeTripletSolver,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.logging import (
+    ScalarLogger,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.save import (
+    save_testing_images_results,
+)
+
+LOSS_KEYS = (  # train...py:164-166
+    "loss/standard/total", "loss/standard/seg", "loss/standard/image",
+    "loss/standard/shape", "loss/standard/gt_shape",
+    "loss/hard/total", "loss/hard/seg", "loss/hard/image", "loss/hard/shape",
+)
+
+
+def experiment_dirs(save_dir: str, dataset_name: str, data_setting: str,
+                    num_classes: int, config_name: str, cval: int
+                    ) -> Tuple[str, str]:
+    """Experiment dir layout (train...py:426-438):
+    {save_dir}/train_{ds}_{setting}_n_cls_{k}/{config_name}/{cval}/{log,model}."""
+    root = join(save_dir,
+                f"train_{dataset_name}_{data_setting}_n_cls_{num_classes}",
+                config_name, str(cval))
+    log_dir = join(root, "log")
+    model_dir = join(root, "model")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(model_dir, exist_ok=True)
+    return log_dir, model_dir
+
+
+def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatcher,
+               predict_fn=None, n_iter: int = 2) -> Tuple[float, float]:
+    """Validation with STN refinement; model selection on Mean IoU
+    (train...py:63-78)."""
+    running = RunningScore(solver.num_classes)
+    if predict_fn is None:
+        predict_fn = solver.make_predict(n_iter=n_iter)
+    last = None
+    for batch in eval_batcher.epoch():
+        pred = predict_fn(state.params, state.batch_stats, batch["image"])
+        pred_lbl = jnp.argmax(pred, axis=-1)
+        running.update(batch["label"], pred_lbl)
+        last = (batch, pred_lbl)
+    score, _ = running.get_scores()
+    return float(score["Mean IoU : \t"]), float(score["Mean Acc : \t"]), last
+
+
+def train_network(experiment_name: str,
+                  train_set, validate_set,
+                  solver: CooperativeTripletSolver,
+                  cfg: ExperimentConfig,
+                  model_dir: str,
+                  log_dir: Optional[str] = None,
+                  log: bool = False,
+                  seed: int = 42,
+                  resume_pkl_path: Optional[str] = None,
+                  mesh=None,
+                  max_epochs: Optional[int] = None):
+    """Full training loop.  Returns (state, best_score, last_epoch)."""
+    learning = cfg.learning
+    data_cfg = cfg.data
+    state = solver.init_state(jax.random.PRNGKey(seed))
+    start_epoch = 0
+    if resume_pkl_path:
+        state, start_epoch = solver.load_snapshots(state, resume_pkl_path)
+
+    latent_da = cfg.latent_DA if learning.latent_DA else None
+    train_step = solver.make_train_step(
+        latent_da=latent_da, separate_training=learning.separate_training,
+        input_noise_std=learning.input_noise_std)
+    if mesh is not None:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+            shard_train_step,
+        )
+
+        train_step = shard_train_step(train_step.__wrapped__, mesh)
+
+    predict_fn = solver.make_predict(n_iter=2)
+
+    batcher = CooperativeBatcher(
+        train_set, batch_size=learning.batch_size,
+        policy_name=data_cfg.data_aug_policy,
+        pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw,
+        num_classes=solver.num_classes,
+        keep_orig=data_cfg.keep_orig_image_label_pair_for_training,
+        seed=seed)
+    eval_batcher = EvalBatcher(validate_set, batch_size=learning.batch_size,
+                               pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw)
+
+    logger = ScalarLogger(log_dir if log else None, purge_step=start_epoch)
+    rng = jax.random.PRNGKey(seed + 1)
+    best_score = -1e9
+    i_iter = start_epoch * max(len(batcher), 1)
+    stop_flag = False
+    last_epoch = start_epoch
+    n_epochs = max_epochs if max_epochs is not None else learning.n_epochs
+
+    try:
+        for i_epoch in range(start_epoch, n_epochs):
+            last_epoch = i_epoch
+            loss_acc = {k: 0.0 for k in LOSS_KEYS}
+            g_count = 0
+            rng, epoch_key = jax.random.split(rng)
+            for batch in batcher.epoch(epoch_key):
+                if stop_flag:
+                    break
+                rng, step_key = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_key)
+                for k in LOSS_KEYS:
+                    loss_acc[k] += float(metrics[k])
+                g_count += 1
+                i_iter += 1
+                if i_iter > learning.max_iteration:
+                    stop_flag = True
+            if g_count == 0:
+                break
+            total = loss_acc["loss/standard/total"] + loss_acc["loss/hard/total"]
+            print(f"{experiment_name} network: {solver.network_type} epoch "
+                  f"{i_epoch} training loss iter: {g_count}, total loss: "
+                  f"{total / g_count}")
+            for k in LOSS_KEYS:
+                logger.add_scalar(k, loss_acc[k] / g_count, i_epoch)
+
+            # ---- validation + model selection (train...py:249-262)
+            curr_score, curr_acc, last_val = eval_model(
+                solver, state, eval_batcher, predict_fn=predict_fn)
+            logger.add_scalar("iou/val_iou", curr_score, i_epoch)
+            logger.add_scalar("acc/val_acc", curr_acc, i_epoch)
+
+            def _dump_images(tag):
+                if last_val is None:
+                    return
+                batch, pred_lbl = last_val
+                save_testing_images_results(
+                    np.asarray(batch["image"])[:, :, :, 0],
+                    np.asarray(batch["label"]), np.asarray(pred_lbl),
+                    model_dir, tag, max_slices=5)
+
+            if curr_score > best_score:
+                best_score = curr_score
+                solver.save_model(state, model_dir, epoch_iter="best")
+                _dump_images("best")
+            if (i_epoch + 1) % cfg.output.save_epoch_every_num_epochs == 0 \
+                    or i_epoch == 0:
+                solver.save_model(state, model_dir, epoch_iter=i_epoch)
+                _dump_images(i_epoch)
+            if stop_flag:
+                break
+        if log and log_dir:
+            logger.export_scalars_to_json(join(log_dir, experiment_name + ".json"))
+    except KeyboardInterrupt:
+        print(f"interrupted at epoch {last_epoch}; saving snapshot")
+        solver.save_snapshots(state, model_dir, epoch=last_epoch)
+        raise
+    except Exception as e:
+        print(f"catch exception at epoch {last_epoch}. error: {e}")
+        if last_epoch > 0:
+            solver.save_snapshots(state, model_dir, epoch=last_epoch)
+        raise
+    finally:
+        logger.close()
+    return state, best_score, last_epoch

@@ -17,6 +17,12 @@ if "space-to-batch-converter" not in _flags:
     _flags += " --xla_disable_hlo_passes=space-to-batch-converter"
 os.environ["XLA_FLAGS"] = _flags.strip()
 
+# jax 0.9 dropped xla_force_host_platform_device_count; virtual devices come
+# from the jax_num_cpu_devices config (must be set before backend init).
+import jax  # noqa: E402
+
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

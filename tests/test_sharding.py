@@ -1,0 +1,73 @@
+"""Data-parallel sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+    LatentDAConfig,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+    shard_train_step,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+    CooperativeTripletSolver,
+)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_mesh_and_shardings():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+    x = jnp.ones((16, 4))
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.is_equivalent_to(batch_sharding(mesh), ndim=2)
+
+
+def test_pad_batch_to_multiple():
+    batch = {"image": np.ones((10, 4, 4, 1)), "label": np.zeros((10, 4, 4))}
+    padded, real = pad_batch_to_multiple(batch, 8)
+    assert padded["image"].shape[0] == 16 and real == 10
+
+
+@pytest.mark.slow
+def test_sharded_cooperative_train_step():
+    """Full cooperative step over the 8-device mesh: compiles, runs, and
+    matches the single-device step numerically."""
+    mesh = make_mesh()
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1, input_hw=(32, 32))
+    state = solver.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(16, 32, 32, 1).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (16, 32, 32)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(7)
+
+    base_step = solver.make_train_step(latent_da=LatentDAConfig(), donate=False)
+    ref_state, ref_metrics = base_step(state, batch, key)
+
+    sharded = shard_train_step(base_step.__wrapped__, mesh, donate=False)
+    st = replicate(mesh, solver.init_state(jax.random.PRNGKey(0)))
+    sb = shard_batch(mesh, batch)
+    out_state, out_metrics = sharded(st, sb, replicate(mesh, key))
+
+    # losses must match the single-device run (same math, same RNG)
+    np.testing.assert_allclose(
+        float(out_metrics["loss/standard/total"]),
+        float(ref_metrics["loss/standard/total"]), rtol=1e-4)
+    # params identical after one step
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
