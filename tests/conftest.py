@@ -1,26 +1,28 @@
 """Test config: force CPU backend with 8 virtual devices for sharding tests.
 
-Mirrors the driver's multi-chip dry-run environment
-(xla_force_host_platform_device_count); must run before jax initializes.
+jax 0.9 notes (this image):
+  * ``xla_force_host_platform_device_count`` in XLA_FLAGS is ignored;
+    virtual CPU devices come from the ``jax_num_cpu_devices`` config.
+  * Setting ``JAX_PLATFORMS=cpu`` via env makes ``jax_num_cpu_devices``
+    ineffective here (the axon sitecustomize interacts with env-based
+    platform selection), so both knobs are set via jax.config BEFORE any
+    backend initialization.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags += " --xla_force_host_platform_device_count=8"
 # XLA-CPU's space-to-batch pass hits an internal CHECK (shape_inference.cc)
 # when compiling the fused cooperative train step's conv graph; disable it
 # (correctness-neutral: it is a layout optimization).
+_flags = os.environ.get("XLA_FLAGS", "")
 if "space-to-batch-converter" not in _flags:
     _flags += " --xla_disable_hlo_passes=space-to-batch-converter"
 os.environ["XLA_FLAGS"] = _flags.strip()
+os.environ.pop("JAX_PLATFORMS", None)
 
-# jax 0.9 dropped xla_force_host_platform_device_count; virtual devices come
-# from the jax_num_cpu_devices config (must be set before backend init).
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
@@ -29,8 +31,6 @@ import pytest  # noqa: E402
 
 @pytest.fixture
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)
 
 
