@@ -23,7 +23,7 @@ Differences by design (not omissions):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,57 @@ class BatchNorm(nn.Module):
             scale_init=bn_scale_init,
             dtype=x.dtype,
         )(x)
+
+
+class Norm(nn.Module):
+    """Switchable 2-D norm over the channel (last) axis of NHWC tensors.
+
+    ``kind``: 'batch' (torch nn.BatchNorm2d), 'instance' (torch
+    nn.InstanceNorm2d defaults: no affine, no running stats), or 'none'.
+    Mirrors the reference's ``norm=`` constructor argument threaded through
+    every block (medseg/models/segmentation_models/unet_parts.py:78-116).
+    """
+
+    kind: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                scale_init=bn_scale_init, dtype=x.dtype)(x)
+        if self.kind == "instance":
+            return nn.InstanceNorm(epsilon=BN_EPS, use_bias=False,
+                                   use_scale=False, dtype=x.dtype)(x)
+        if self.kind == "none":
+            return x
+        raise NotImplementedError(f"unknown norm kind {self.kind!r}")
+
+
+class SNConv(nn.Module):
+    """Conv with optional spectral normalization (power iteration).
+
+    The reference wraps convs in torch ``spectral_norm`` when ``if_SN``
+    (unet_parts.py:276-282); flax's ``nn.SpectralNorm`` keeps the power-
+    iteration vector in the ``batch_stats`` collection, which rides the
+    same functional-state plumbing as BN running stats.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = "SAME"
+    if_SN: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride), padding=self.padding,
+                       kernel_init=conv_kernel_init, dtype=x.dtype)
+        if self.if_SN:
+            return nn.SpectralNorm(conv)(x, update_stats=train)
+        return conv(x)
 
 
 class ConvBlock(nn.Module):
@@ -169,7 +220,8 @@ class ResUp(nn.Module):
             x = nn.ConvTranspose(in_ch, (2, 2), strides=(2, 2),
                                  kernel_init=conv_kernel_init, dtype=x.dtype)(x)
         elif self.up_type == "Conv4":
-            x = nn.ConvTranspose(in_ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            # torch k4s2p1 doubles H/W; in flax that output size is 'SAME'.
+            x = nn.ConvTranspose(in_ch, (4, 4), strides=(2, 2), padding="SAME",
                                  kernel_init=conv_kernel_init, dtype=x.dtype)(x)
         else:
             raise NotImplementedError(f"unknown up_type {self.up_type!r}")

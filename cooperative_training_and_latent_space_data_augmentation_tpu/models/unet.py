@@ -23,22 +23,26 @@ from flax import linen as nn
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks import (
     BatchNorm,
+    Norm,
+    SNConv,
     conv_kernel_init,
     upsample_bilinear,
 )
 
 
 class DoubleConv(nn.Module):
-    """conv3-BN-ReLU-conv3-BN-ReLU (unet_parts.double_conv)."""
+    """conv3-norm-ReLU-conv3-norm-ReLU (unet_parts.double_conv), with the
+    reference's ``norm`` / ``if_SN`` constructor knobs (unet_parts.py:13-42)."""
 
     features: int
+    norm: str = "batch"
+    if_SN: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME",
-                        kernel_init=conv_kernel_init, dtype=x.dtype)(x)
-            x = BatchNorm()(x, use_running_average=not train)
+            x = SNConv(self.features, if_SN=self.if_SN)(x, train)
+            x = Norm(self.norm)(x, use_running_average=not train)
             x = nn.relu(x)
         return x
 
@@ -69,22 +73,125 @@ def _maxpool2(x):
 class UNet(nn.Module):
     num_classes: int = 4
     feature_scale: int = 4  # 4 -> "UNet_16" in the reference registry
+    norm: str = "batch"     # 'instance' + if_SN -> "IN_SN_UNet_16"
+    if_SN: bool = False     # spectral norm -> "SN_UNet_16"
     encoder_dropout: Optional[float] = None
     decoder_dropout: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_scale
-        x1 = DoubleConv(64 // f)(x, train)
-        x2 = DoubleConv(128 // f)(_maxpool2(x1), train)
-        x3 = DoubleConv(256 // f)(_maxpool2(x2), train)
-        x4 = DoubleConv(512 // f)(_maxpool2(x3), train)
-        x5 = DoubleConv(512 // f)(_maxpool2(x4), train)
+        dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN)
+        x1 = dc(64 // f)(x, train)
+        x2 = dc(128 // f)(_maxpool2(x1), train)
+        x3 = dc(256 // f)(_maxpool2(x2), train)
+        x4 = dc(512 // f)(_maxpool2(x3), train)
+        x5 = dc(512 // f)(_maxpool2(x4), train)
 
         def up(a, skip, feats):
             a = upsample_bilinear(a)
             a = jnp.concatenate([skip, a], axis=-1)
-            return DoubleConv(feats)(a, train)
+            return dc(feats)(a, train)
+
+        h = up(x5, x4, 256 // f)
+        h = up(h, x3, 128 // f)
+        h = up(h, x2, 64 // f)
+        h = up(h, x1, 64 // f)
+        return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                       dtype=h.dtype)(h)
+
+
+class UNetv2(nn.Module):
+    """UNet with a 1024//f bottleneck and asymmetric decoder widths
+    (unet.py:322-403: inc 64 -> down 128/256/512/1024 -> up 256/128/64/64)."""
+
+    num_classes: int = 4
+    feature_scale: int = 4
+    norm: str = "batch"
+    if_SN: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_scale
+        dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN)
+        x1 = dc(64 // f)(x, train)
+        x2 = dc(128 // f)(_maxpool2(x1), train)
+        x3 = dc(256 // f)(_maxpool2(x2), train)
+        x4 = dc(512 // f)(_maxpool2(x3), train)
+        x5 = dc(1024 // f)(_maxpool2(x4), train)
+
+        def up(a, skip, feats):
+            a = upsample_bilinear(a)
+            a = jnp.concatenate([skip, a], axis=-1)
+            return dc(feats)(a, train)
+
+        h = up(x5, x4, 256 // f)
+        h = up(h, x3, 128 // f)
+        h = up(h, x2, 64 // f)
+        h = up(h, x1, 64 // f)
+        return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                       dtype=h.dtype)(h)
+
+
+class ResBlock(nn.Module):
+    """ReLU residual block: relu(conv1x1(x) + [conv3-norm-relu-conv3-norm](x))
+    (unet_parts.res_conv, unet_parts.py:306-345)."""
+
+    features: int
+    norm: str = "batch"
+    if_SN: bool = False
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = SNConv(self.features, kernel=1, if_SN=self.if_SN)(x, train)
+        h = SNConv(self.features, if_SN=self.if_SN)(x, train)
+        h = Norm(self.norm)(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = SNConv(self.features, if_SN=self.if_SN)(h, train)
+        h = Norm(self.norm)(h, use_running_average=not train)
+        out = nn.relu(shortcut + h)
+        if self.dropout is not None and self.dropout > 0:
+            out = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
+                             deterministic=not train)(out)
+        return out
+
+
+class ResConvUNet(nn.Module):
+    """UNet with residual blocks everywhere (resconvunet.py:17-121):
+    res_conv inc -> 4x [maxpool + res block] (128,256,512,512)//f ->
+    4x [transposed-conv k4s2p1 up + skip concat + res block] -> 1x1 out."""
+
+    num_classes: int = 4
+    feature_scale: int = 4
+    norm: str = "batch"
+    if_SN: bool = False
+    encoder_dropout: Optional[float] = None
+    decoder_dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_scale
+        rb = lambda feats, drop: ResBlock(feats, norm=self.norm,
+                                          if_SN=self.if_SN, dropout=drop)
+        enc_drop, dec_drop = self.encoder_dropout, self.decoder_dropout
+        x1 = rb(64 // f, enc_drop)(x, train)
+        x2 = rb(128 // f, enc_drop)(_maxpool2(x1), train)
+        x3 = rb(256 // f, enc_drop)(_maxpool2(x2), train)
+        x4 = rb(512 // f, enc_drop)(_maxpool2(x3), train)
+        x5 = rb(512 // f, enc_drop)(_maxpool2(x4), train)
+
+        def up(a, skip, feats):
+            # res_conv_up (unet_parts.py:392-437): deconv k4s2p1 keeps
+            # channels, then a residual block over the skip concat.
+            # torch ConvTranspose2d(k4,s2,p1) doubles H/W; flax's equivalent
+            # output size comes from padding='SAME' (flax explicit padding
+            # counts output-side trimming differently from torch).
+            a = nn.ConvTranspose(a.shape[-1], (4, 4), strides=(2, 2),
+                                 padding="SAME",
+                                 kernel_init=conv_kernel_init, dtype=a.dtype)(a)
+            a = jnp.concatenate([a, skip], axis=-1)
+            return rb(feats, dec_drop)(a, train)
 
         h = up(x5, x4, 256 // f)
         h = up(h, x3, 128 // f)

@@ -24,7 +24,9 @@ from flax import serialization
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.models.unet import (
     FCN,
+    ResConvUNet,
     UNet,
+    UNetv2,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.ops import losses as L
 from cooperative_training_and_latent_space_data_augmentation_tpu.train.state import TrainState
@@ -34,8 +36,13 @@ NETWORK_REGISTRY: Dict[str, Callable[[int, int], Any]] = {
     "UNet_16": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=4),
     "UNet_32": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=2),
     "UNet_64": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=1),
+    "UNetv2_16": lambda num_classes, image_ch: UNetv2(num_classes=num_classes, feature_scale=4),
+    "SN_UNet_16": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=4, if_SN=True),
+    "IN_SN_UNet_16": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=4, norm="instance", if_SN=True),
     "FCN_16": lambda num_classes, image_ch: FCN(num_classes=num_classes, feature_scale=4),
     "FCN_64": lambda num_classes, image_ch: FCN(num_classes=num_classes, feature_scale=1),
+    "ResUNet_16": lambda num_classes, image_ch: ResConvUNet(num_classes=num_classes, feature_scale=4),
+    "ResUNet_64": lambda num_classes, image_ch: ResConvUNet(num_classes=num_classes, feature_scale=1),
 }
 
 

@@ -17,6 +17,10 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
     UNet,
     DeeplySupervisedUNet,
 )
+from cooperative_training_and_latent_space_data_augmentation_tpu.models.unet import (
+    ResConvUNet,
+    UNetv2,
+)
 from cooperative_training_and_latent_space_data_augmentation_tpu.models.layers import (
     ChannelSELayer,
     ChannelSpatialSELayer,
@@ -79,6 +83,22 @@ def test_baselines(net):
     x = jnp.zeros((2, 96, 96, 1))
     _, y = _init_apply(net, x, train=False)
     assert y.shape == (2, 96, 96, 4)
+
+
+@pytest.mark.parametrize("net", [
+    UNetv2(num_classes=4, feature_scale=4),
+    ResConvUNet(num_classes=4, feature_scale=4),
+    UNet(num_classes=4, feature_scale=4, if_SN=True),              # SN_UNet_16
+    UNet(num_classes=4, feature_scale=4, norm="instance", if_SN=True),  # IN_SN_UNet_16
+])
+def test_baseline_variants(net):
+    """Registry variants (base_segmentation_model.py:78-138): shapes + a
+    train-mode pass that exercises SN power iteration / norm state."""
+    x = jnp.ones((2, 32, 32, 1)) * 0.5
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    y, _ = net.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 32, 32, 4)
+    assert bool(jnp.all(jnp.isfinite(y)))
 
 
 def test_deeply_supervised_unet():

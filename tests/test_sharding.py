@@ -66,8 +66,11 @@ def test_sharded_cooperative_train_step():
     np.testing.assert_allclose(
         float(out_metrics["loss/standard/total"]),
         float(ref_metrics["loss/standard/total"]), rtol=1e-4)
-    # params identical after one step
+    # params match after one step.  Cross-device reductions reorder float
+    # sums vs the single-device run; Adam's sign-sensitive update amplifies
+    # those ~1e-7 gradient differences to O(lr)=1e-4 on near-zero-gradient
+    # params, so the atol is 5e-4 (real sharding bugs diverge by O(1)).
     for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
                     jax.tree_util.tree_leaves(out_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-3, atol=5e-4)
