@@ -5,3 +5,8 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.data.splits imp
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (  # noqa: F401
     SyntheticSegDataset,
 )
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.data.prostate import (  # noqa: F401
+    ProstateDecathlonDataset,
+    get_prostate_split_policy,
+)

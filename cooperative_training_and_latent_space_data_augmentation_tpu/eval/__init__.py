@@ -4,3 +4,7 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.eval.metrics im
     runningScore,
     runningMySegmentationScore,
 )
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.eval.post_process import (  # noqa: F401
+    keep_largest_connected_components,
+)

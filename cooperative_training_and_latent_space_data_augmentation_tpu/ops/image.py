@@ -140,6 +140,43 @@ def random_inpainting(rng, image, n_blocks: int = 5,
     return image * (1 - masks) + noise * masks
 
 
+def sharpen_predictions(logits_or_probs, temperature: float = 0.5,
+                        apply_softmax: bool = True):
+    """MixMatch-style prediction sharpening (model_util.py:361-368).
+
+    NHWC class axis (-1).  ``apply_softmax`` mirrors the reference, which
+    always softmaxes its input first.
+    """
+    p = jax.nn.softmax(logits_or_probs, axis=-1) if apply_softmax else logits_or_probs
+    cal = p ** (1.0 / temperature)
+    return cal / jnp.sum(cal, axis=-1, keepdims=True)
+
+
+def filter_unlabelled_predictions(probs, threshold: float = 0.8):
+    """Per-pixel confidence maps from max class prob (model_util.py:343-358).
+
+    Returns a 0/1-ish confidence map broadcast over the class axis (NHWC).
+    """
+    probs = jax.lax.stop_gradient(probs)
+    max_prob = jnp.max(probs, axis=-1, keepdims=True)
+    conf = jnp.clip(max_prob - threshold, 0.0, 1.0)
+    conf = jnp.where(probs > 0, 1.0, conf)
+    return jnp.broadcast_to(conf, probs.shape)
+
+
+def unit_norm(x, use_p_norm: bool = False, eps: float = 1e-10):
+    """Per-sample abs-max rescale, optional l2 normalize (model_util.py:396-411)."""
+    n = x.shape[0]
+    abs_max = jnp.max(jnp.abs(x.reshape(n, -1)), axis=1)
+    abs_max = abs_max.reshape((n,) + (1,) * (x.ndim - 1))
+    x = x / (eps + abs_max)
+    if use_p_norm:
+        norm = jnp.sqrt(jnp.sum(x.reshape(n, -1) ** 2, axis=1))
+        norm = norm.reshape((n,) + (1,) * (x.ndim - 1))
+        x = x / (eps + norm)
+    return x
+
+
 def random_outpainting(rng, image, n_blocks: int = 5,
                        min_frac: float = 0.25, max_frac: float = 0.4):
     """Keep random blocks, noise everywhere else

@@ -266,6 +266,102 @@ def calc_segmentation_consistency(pred_logit, ref_logit, divergence_types=("kl",
     return total / len(scales)
 
 
+def soft_dice_loss_3d(logits, target, weight=None, eps: float = 1e-7):
+    """3-D soft Dice (custom_loss.SoftDiceLoss3D:399-438): NDHWC logits.
+
+    The generic :func:`soft_dice_loss` already reduces over all spatial
+    axes, so the 3-D case is the same computation at ndim=5.
+    """
+    assert logits.ndim == 5, "expect NDHWC"
+    return soft_dice_loss(logits, target, weight=weight, eps=eps)
+
+
+def hierarchical_loss(multi_preds, target, weights=(1.0, 1.0, 1.0)):
+    """3-level hierarchical CE (custom_loss.get_hierachical_loss:183-219).
+
+    ``multi_preds``: [binary object logits (C=2), biventricle logits (C=3),
+    final logits (C=4)], NHWC; ``target``: NHW int in {0..3}
+    (0=BG, 1=LV, 2=MYO, 3=RV).
+    """
+    assert len(multi_preds) == len(weights)
+    # level 1: object vs background (classes >1 -> 0 in the reference's remap)
+    binary_target = jnp.where(target > 1, 0, target)
+    object_loss = cross_entropy_2d(multi_preds[0], binary_target)
+    # level 2: {LV+MYO}=1 vs RV=2
+    biv_target = jnp.where(target <= 2, 1, 2)
+    biventricle_loss = cross_entropy_2d(multi_preds[1], biv_target)
+    # level 3: full labels with myocardium-emphasizing class weights
+    final_loss = cross_entropy_2d(multi_preds[2], target,
+                                  weight=jnp.asarray([0.2, 0.25, 0.3, 0.25]))
+    return (weights[0] * object_loss + weights[1] * biventricle_loss
+            + weights[2] * final_loss)
+
+
+def intra_subject_latent_consistency_loss(latents):
+    """L2 spread of k views' latents around their mean
+    (custom_loss.IntraSubjectLatentConsistencyLoss:259-287).
+
+    ``latents``: list of k arrays (N, ...) from different views.
+    """
+    n = latents[0].shape[0]
+    stack = jnp.stack([z.reshape(n, -1) for z in latents], axis=0)  # k,N,F
+    bias = stack - jnp.mean(stack, axis=0, keepdims=True)
+    return jnp.mean(bias * bias)
+
+
+def inter_template_consistency_loss(x, weight: float = 1.0):
+    """L2 spread of per-sample templates around the batch mean
+    (custom_loss.InterTemplateConsistencyLoss:289-307).  x: (N, H, W, C)."""
+    bias = x - jnp.mean(x, axis=0, keepdims=True)
+    return weight * jnp.mean(bias * bias)
+
+
+def laplacian_smoothness_loss(probs, target, num_classes: int,
+                              size_average: bool = True):
+    """MSE between Laplacian responses of predicted and GT foreground maps
+    (custom_loss.laplacian_smoothness_loss:321-353).
+
+    ``probs``: NHWC class probabilities; ``target``: NHW int labels.  The
+    reference's fixed kernel [[1,0,1],[1,-8,1],[1,0,1]] is applied as a
+    dense cross-channel conv over the foreground classes.
+    """
+    fg = num_classes - 1
+    tgt = one_hot(target, num_classes, probs.dtype)[..., 1:]
+    pred = probs[..., 1:]
+    k = jnp.asarray([[1., 0., 1.], [1., -8., 1.], [1., 0., 1.]], probs.dtype)
+    # reference: out_ch=in_ch=fg dense kernel with the SAME spatial filter
+    # replicated everywhere (np.repeat over both channel axes).
+    kernel = jnp.tile(k[:, :, None, None], (1, 1, fg, fg))  # HWIO
+
+    def lap(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    diff = lap(pred) - lap(tgt)
+    loss = diff * diff
+    return jnp.mean(loss) if size_average else loss
+
+
+def zncc_loss(template, image, zero_mean: bool = False, eps: float = 1e-6):
+    """(Zero-)normalized cross-correlation loss, 1 - cosine(template, image)
+    (custom_loss.CustomNormalizedCrossCorrelationLoss:514-662).
+
+    ``template``: (1, H, W, C) broadcast against ``image``: (N, H, W, C).
+    Returns mean over the batch of 1 - NCC in [0, 2].
+    """
+    if zero_mean:
+        template = template - jnp.mean(template, axis=(1, 2), keepdims=True)
+        image = image - jnp.mean(image, axis=(1, 2), keepdims=True)
+    n = image.shape[0]
+    t = jnp.broadcast_to(template, image.shape).reshape(n, -1)
+    im = image.reshape(n, -1)
+    t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + eps)
+    im = im / (jnp.linalg.norm(im, axis=1, keepdims=True) + eps)
+    ncc = jnp.sum(t * im, axis=1)
+    return jnp.mean(1.0 - ncc)
+
+
 def basic_loss_fn(pred, target, loss_type: str = "cross entropy", class_weights=None):
     """Supervised-loss dispatcher (custom_loss.basic_loss_fn:8-40)."""
     num_classes = pred.shape[-1]

@@ -188,3 +188,58 @@ def test_loader_batching():
     ev = EvalBatcher(ds, batch_size=5, pad_hw=(64, 64), crop_hw=(48, 48))
     eb = next(iter(ev.epoch()))
     assert eb["image"].shape == (5, 48, 48, 1)
+
+
+# ---------------------------------------------------------------- prostate
+def _make_prostate_root(tmp_path, n_patients=12, z=3, hw=16):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "prostate"
+    for i in range(1, n_patients + 1):
+        pid = f"patient_{i:02d}"
+        d = root / pid
+        d.mkdir(parents=True)
+        img = rng.rand(z, hw, hw).astype(np.float32)
+        lbl = rng.randint(0, 3, (z, hw, hw)).astype(np.int16)
+        write_nrrd(str(d / "t2_img.nrrd"), img)
+        write_nrrd(str(d / "label.nrrd"), lbl)
+    return str(root)
+
+
+def test_prostate_split_policy(tmp_path):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.prostate import (
+        PROSTATE_TEST_IDS,
+        get_prostate_split_policy,
+    )
+
+    root = _make_prostate_root(tmp_path)
+    pol = get_prostate_split_policy(root, "three_shot", cval=1)
+    assert pol["test"] == PROSTATE_TEST_IDS
+    assert len(pol["train"]) == 3
+    assert not set(pol["train"]) & set(PROSTATE_TEST_IDS)
+    # deterministic under the same cval, different under another
+    pol2 = get_prostate_split_policy(root, "three_shot", cval=1)
+    assert pol["train"] == pol2["train"]
+    assert sorted(set(pol["train"]) | set(pol["unlabelled"])
+                  | set(pol["validate"]) | set(pol["test"])
+                  ) != []  # partitions cover ids
+
+
+def test_prostate_dataset(tmp_path):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.prostate import (
+        ProstateDecathlonDataset,
+    )
+
+    root = _make_prostate_root(tmp_path)
+    ds = ProstateDecathlonDataset(root, split="train", data_setting="three_shot",
+                                  cval=1, pad_size=(16, 16))
+    assert len(ds) == 3 * 3  # 3 patients x 3 slices
+    img, lbl = ds.load_data(0)
+    assert img.shape == (16, 16, 1) and lbl.shape == (16, 16)
+    vol, gt = ds.get_patient_data_for_testing(0, crop_size=(16, 16))
+    assert vol.shape == (3, 16, 16, 1) and gt.shape == (3, 16, 16)
+    assert ds.voxelspacing == [0.625, 0.625, 3.6]
+    # binary mode folds PZ+CZ
+    dsb = ProstateDecathlonDataset(root, split="test", cval=1,
+                                   binary_segmentation=True, pad_size=(16, 16))
+    _, gtb = dsb.get_patient_data_for_testing(0, crop_size=(16, 16))
+    assert set(np.unique(gtb)) <= {0, 1}

@@ -129,3 +129,51 @@ def test_consistency_and_misc(logits_labels):
     assert np.isfinite(float(losses.brier_loss(a, jnp.asarray(labels))))
     z = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
     assert np.isfinite(float(losses.nt_xent_loss(z, z + 0.1)))
+
+
+def test_hierarchical_loss(logits_labels):
+    logits, labels = logits_labels
+    rng = np.random.RandomState(1)
+    preds = [jnp.asarray(rng.randn(3, 8, 8, c).astype(np.float32)) for c in (2, 3, 4)]
+    loss = losses.hierarchical_loss(preds, jnp.asarray(labels))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_latent_consistency_losses(np_rng):
+    z = [jnp.asarray(np_rng.randn(2, 4, 4, 8).astype(np.float32)) for _ in range(3)]
+    l = losses.intra_subject_latent_consistency_loss(z)
+    assert float(l) > 0
+    # identical views -> zero spread
+    same = [z[0], z[0], z[0]]
+    assert float(losses.intra_subject_latent_consistency_loss(same)) == pytest.approx(0.0)
+    x = jnp.asarray(np_rng.randn(4, 8, 8, 1).astype(np.float32))
+    assert float(losses.inter_template_consistency_loss(x)) > 0
+    uniform = jnp.ones((4, 8, 8, 1))
+    assert float(losses.inter_template_consistency_loss(uniform)) == pytest.approx(0.0)
+
+
+def test_laplacian_smoothness_zero_for_match(logits_labels):
+    _, labels = logits_labels
+    probs = jax.nn.one_hot(jnp.asarray(labels), 4)
+    loss = losses.laplacian_smoothness_loss(probs, jnp.asarray(labels), num_classes=4)
+    assert float(loss) == pytest.approx(0.0, abs=1e-8)
+    # a wrong prediction raises it
+    wrong = jnp.roll(probs, 1, axis=-1)
+    assert float(losses.laplacian_smoothness_loss(
+        wrong, jnp.asarray(labels), num_classes=4)) > 0
+
+
+def test_soft_dice_loss_3d(np_rng):
+    logits = jnp.asarray(np_rng.randn(2, 3, 8, 8, 4).astype(np.float32))
+    labels = jnp.asarray(np_rng.randint(0, 4, (2, 3, 8, 8)).astype(np.int32))
+    loss = losses.soft_dice_loss_3d(logits, labels)
+    assert 0 <= float(loss) <= 1
+
+
+def test_zncc_loss(np_rng):
+    t = jnp.asarray(np_rng.rand(1, 8, 8, 1).astype(np.float32))
+    # perfect match -> 0; scaled copy (cosine-invariant) -> ~0
+    assert float(losses.zncc_loss(t, t)) == pytest.approx(0.0, abs=1e-5)
+    assert float(losses.zncc_loss(t, 3.0 * t)) == pytest.approx(0.0, abs=1e-5)
+    other = jnp.asarray(np_rng.rand(4, 8, 8, 1).astype(np.float32))
+    assert float(losses.zncc_loss(t, other)) > 0

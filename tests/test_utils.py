@@ -1,0 +1,167 @@
+"""Tests for schedulers, gradient clipping, size estimation, feature capture,
+post-processing, and the extended model utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.eval.post_process import (
+    keep_largest_connected_components,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.models.unet import UNet
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.image import (
+    filter_unlabelled_predictions,
+    sharpen_predictions,
+    unit_norm,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.estimate import (
+    count_params,
+    extract_features,
+    param_bytes,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.schedulers import (
+    ReduceLROnPlateau,
+    clip_grad_by_adam_bound,
+    lr_poly,
+    make_lr_schedule,
+    make_optimizer,
+    make_plateau_scheduler,
+)
+
+
+# ------------------------------------------------------------- LR schedules
+def test_lr_poly():
+    assert lr_poly(1e-3, 0, 100, 0.985) == pytest.approx(1e-3)
+    assert lr_poly(1e-3, 50, 100, 1.0) == pytest.approx(5e-4)
+
+
+def test_step_schedules():
+    s = make_lr_schedule("step", lr_decay_iters=5)
+    assert float(s(0)) == 1.0
+    assert float(s(5)) == 0.5
+    assert float(s(10)) == 0.25
+    s2 = make_lr_schedule("step2", lr_decay_iters=5)
+    assert float(s2(5)) == pytest.approx(0.1)
+
+
+def test_warmstart_schedules():
+    # model_util.py:644-668 breakpoints
+    s = make_lr_schedule("step_warmstart")
+    np.testing.assert_allclose(
+        [float(s(e)) for e in (0, 4, 5, 99, 100, 199, 200)],
+        [0.1, 0.1, 1.0, 1.0, 0.1, 0.1, 0.01], rtol=1e-6)
+    s2 = make_lr_schedule("step_warmstart2")
+    np.testing.assert_allclose(
+        [float(s2(e)) for e in (0, 5, 49, 50, 100)],
+        [0.1, 1.0, 1.0, 0.1, 0.01], rtol=1e-6)
+
+
+def test_lambda_schedule():
+    s = make_lr_schedule("lambda", epoch_count=0, niter=10, niter_decay=10)
+    assert float(s(0)) == pytest.approx(1.0)   # before decay window
+    assert float(s(9)) == pytest.approx(1.0 - 0 / 11 - 0, abs=1e-2)
+    assert float(s(19)) <= 0.1
+
+
+def test_plateau_scheduler():
+    sched = make_plateau_scheduler("plateau")
+    scale = 1.0
+    for _ in range(3):
+        scale = sched.step(1.0)  # no improvement
+    assert scale == 1.0  # patience 5 not exceeded
+    for _ in range(4):
+        scale = sched.step(1.0)
+    assert scale == pytest.approx(0.1)  # dropped once after >5 bad epochs
+
+
+def test_unknown_policy_raises():
+    with pytest.raises(NotImplementedError):
+        make_lr_schedule("nope")
+
+
+# --------------------------------------------------------------- grad clip
+def test_clip_grad_by_adam_bound():
+    clip = clip_grad_by_adam_bound()
+    params = {"w": jnp.zeros((3,))}
+    state = clip.init(params)
+    g1 = {"w": jnp.asarray([100.0, -100.0, 0.001])}
+    out1, state = clip.update(g1, state, params)
+    # first step: reference skips clipping (optimizer state step < 1)
+    np.testing.assert_allclose(np.asarray(out1["w"]), np.asarray(g1["w"]))
+    out2, state = clip.update(g1, state, params)
+    # steady gradients stay within 3*sqrt(v_hat)+0.1 of themselves
+    assert np.all(np.abs(np.asarray(out2["w"])) <= 3 * 100 + 0.1)
+    # a spike after small gradients gets clamped hard
+    small = {"w": jnp.asarray([0.001, 0.001, 0.001])}
+    st = clip.init(params)
+    _, st = clip.update(small, st, params)
+    _, st = clip.update(small, st, params)
+    spike = {"w": jnp.asarray([10.0, 10.0, 10.0])}
+    out, _ = clip.update(spike, st, params)
+    assert np.all(np.asarray(out["w"]) < 1.0)
+
+
+def test_make_optimizer_trains():
+    tx = make_optimizer(1e-2, policy="step", lr_decay_iters=100, clip=True)
+    params = {"w": jnp.ones((4,))}
+    st = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    updates, st = tx.update(grads, st, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+# ------------------------------------------------------- estimate / capture
+def test_count_params_and_bytes():
+    model = UNet(num_classes=2, feature_scale=4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)), train=False)
+    n = count_params(v["params"])
+    assert n > 10_000
+    assert param_bytes(v["params"]) == 4 * n  # float32
+
+
+def test_extract_features():
+    model = UNet(num_classes=2, feature_scale=4)
+    x = jnp.ones((1, 32, 32, 1))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, feats = extract_features(model, v, x)
+    assert out.shape == (1, 32, 32, 2)
+    assert len(feats) > 5  # captured intermediate activations
+    assert any(getattr(a, "ndim", 0) == 4 for a in feats.values())
+
+
+# ------------------------------------------------------------ post-process
+def test_keep_largest_connected_components():
+    mask = np.zeros((10, 10), np.uint8)
+    mask[1:4, 1:4] = 1      # big blob class 1
+    mask[8, 8] = 1          # speck class 1 (should vanish)
+    mask[5:7, 5:9] = 2      # class 2 blob
+    out = keep_largest_connected_components(mask, n_classes=3)
+    assert out[2, 2] == 1 and out[8, 8] == 0
+    assert np.array_equal(out == 2, mask == 2)
+
+
+# ------------------------------------------------------------- model utils
+def test_sharpen_predictions():
+    logits = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 4).astype(np.float32))
+    p = sharpen_predictions(logits, temperature=0.5)
+    base = jax.nn.softmax(logits, -1)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, rtol=1e-5)
+    # sharpening increases the max class probability
+    assert float(jnp.mean(p.max(-1))) > float(jnp.mean(base.max(-1)))
+
+
+def test_filter_unlabelled_predictions():
+    probs = jnp.asarray([[[[0.9, 0.1], [0.5, 0.5]]]])  # 1x1x2x2
+    conf = filter_unlabelled_predictions(probs, threshold=0.8)
+    assert conf.shape == probs.shape
+
+
+def test_unit_norm():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 1).astype(np.float32)) * 7
+    y = unit_norm(x)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0 + 1e-5
+    y2 = unit_norm(x, use_p_norm=True)
+    n = np.linalg.norm(np.asarray(y2).reshape(2, -1), axis=1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-4)
