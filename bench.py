@@ -51,9 +51,12 @@ def main():
     if batch % n_devices:
         batch = ((batch + n_devices - 1) // n_devices) * n_devices
 
+    # bf16 conv compute on the MXU by default (params/norms/latents/logits
+    # stay f32); BENCH_DTYPE=float32 opts out.
+    dtype = None if os.environ.get("BENCH_DTYPE") == "float32" else jnp.bfloat16
     solver = CooperativeTripletSolver(
         network_type="FCN_16_standard", image_ch=1, num_classes=4,
-        input_hw=(192, 192))
+        input_hw=(192, 192), compute_dtype=dtype)
     state = solver.init_state(jax.random.PRNGKey(0))
     step = solver.make_train_step(latent_da=LatentDAConfig(),
                                   separate_training=False, donate=True)

@@ -59,12 +59,15 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
+        # Stats and affine math always in float32: under bf16 mixed
+        # precision the norm is the numerically sensitive op, and XLA fuses
+        # the casts into the surrounding convs anyway.
         return nn.BatchNorm(
             use_running_average=use_running_average,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             scale_init=bn_scale_init,
-            dtype=x.dtype,
+            dtype=jnp.float32,
         )(x)
 
 
@@ -128,15 +131,17 @@ class ConvBlock(nn.Module):
     """
 
     features: int
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 for MXU speed)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = self.dtype or x.dtype
         x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=x.dtype)(x)
+                    dtype=dt)(x)
         x = BatchNorm()(x, use_running_average=not train)
         x = leaky_relu(x)
         x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=x.dtype)(x)
+                    dtype=dt)(x)
         x = BatchNorm()(x, use_running_average=not train)
         return x
 
@@ -146,19 +151,21 @@ class _ResCore(nn.Module):
 
     features: int
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = self.dtype or x.dtype
         shortcut = nn.Conv(self.features, (1, 1), kernel_init=conv_kernel_init,
-                           dtype=x.dtype)(x)
+                           dtype=dt)(x)
         h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=x.dtype)(x)
+                    dtype=dt)(x)
         h = BatchNorm()(h, use_running_average=not train)
         h = leaky_relu(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=x.dtype)(h)
+                    dtype=dt)(h)
         h = BatchNorm()(h, use_running_average=not train)
-        out = leaky_relu(shortcut + h)
+        out = leaky_relu(shortcut.astype(h.dtype) + h)
         if self.dropout is not None and self.dropout > 0:
             # Channel dropout (torch nn.Dropout2d): drop whole feature maps.
             out = nn.Dropout(
@@ -174,6 +181,7 @@ class ResConvDown(nn.Module):
 
     features: int
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -181,8 +189,8 @@ class ResConvDown(nn.Module):
         # takes pixels at odd offsets; SAME padding with stride 2 matches the
         # output size (H/2) for even H.
         x = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    kernel_init=conv_kernel_init, dtype=x.dtype)(x)
-        return _ResCore(self.features, self.dropout)(x, train)
+                    kernel_init=conv_kernel_init, dtype=self.dtype or x.dtype)(x)
+        return _ResCore(self.features, self.dropout, self.dtype)(x, train)
 
 
 def upsample_nearest(x, factor: int = 2):
@@ -208,21 +216,23 @@ class ResUp(nn.Module):
     features: int
     up_type: str = "NN"
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_ch = x.shape[-1]
+        dt = self.dtype or x.dtype
         if self.up_type == "NN":
             x = upsample_nearest(x)
         elif self.up_type == "bilinear":
             x = upsample_bilinear(x)
         elif self.up_type == "Conv2":
             x = nn.ConvTranspose(in_ch, (2, 2), strides=(2, 2),
-                                 kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+                                 kernel_init=conv_kernel_init, dtype=dt)(x)
         elif self.up_type == "Conv4":
             # torch k4s2p1 doubles H/W; in flax that output size is 'SAME'.
             x = nn.ConvTranspose(in_ch, (4, 4), strides=(2, 2), padding="SAME",
-                                 kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+                                 kernel_init=conv_kernel_init, dtype=dt)(x)
         else:
             raise NotImplementedError(f"unknown up_type {self.up_type!r}")
-        return _ResCore(self.features, self.dropout)(x, train)
+        return _ResCore(self.features, self.dropout, self.dtype)(x, train)

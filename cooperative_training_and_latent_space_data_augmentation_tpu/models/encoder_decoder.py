@@ -51,17 +51,22 @@ class Encoder(nn.Module):
     feature_reduce: int = 4
     act: Optional[str] = "relu"
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_reduce
-        x1 = ConvBlock(64 // f)(x, train)
+        dt = self.dtype
+        x1 = ConvBlock(64 // f, dtype=dt)(x, train)
         x1 = leaky_relu(x1)
-        x2 = ResConvDown(128 // f, self.dropout)(x1, train)
-        x3 = ResConvDown(256 // f, self.dropout)(x2, train)
-        x4 = ResConvDown(512 // f, self.dropout)(x3, train)
-        x5 = ResConvDown(512 // f, self.dropout)(x4, train)
-        x5 = nn.Conv(512 // f, (1, 1), kernel_init=conv_kernel_init, dtype=x5.dtype)(x5)
+        x2 = ResConvDown(128 // f, self.dropout, dtype=dt)(x1, train)
+        x3 = ResConvDown(256 // f, self.dropout, dtype=dt)(x2, train)
+        x4 = ResConvDown(512 // f, self.dropout, dtype=dt)(x3, train)
+        x5 = ResConvDown(512 // f, self.dropout, dtype=dt)(x4, train)
+        # latent head stays float32: the latent code is what gets masked and
+        # differentiated through during hard-example generation.
+        x5 = nn.Conv(512 // f, (1, 1), kernel_init=conv_kernel_init,
+                     dtype=jnp.float32)(x5.astype(jnp.float32))
         x5 = BatchNorm()(x5, use_running_average=not train)
         act = _ACTS[self.act]
         if act is not None:
@@ -82,16 +87,19 @@ class Decoder(nn.Module):
     up_type: str = "NN"
     last_act: Optional[str] = None
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, z, train: bool = False):
         f = self.feature_reduce
-        x = ResUp(256 // f, self.up_type, self.dropout)(z, train)
-        x = ResUp(128 // f, self.up_type, self.dropout)(x, train)
-        x = ResUp(64 // f, self.up_type, self.dropout)(x, train)
-        x = ResUp(64 // f, self.up_type, self.dropout)(x, train)
+        dt = self.dtype
+        x = ResUp(256 // f, self.up_type, self.dropout, dtype=dt)(z, train)
+        x = ResUp(128 // f, self.up_type, self.dropout, dtype=dt)(x, train)
+        x = ResUp(64 // f, self.up_type, self.dropout, dtype=dt)(x, train)
+        x = ResUp(64 // f, self.up_type, self.dropout, dtype=dt)(x, train)
+        # output head stays float32: losses/softmax consume these logits.
         x = nn.Conv(self.output_channel, (1, 1), kernel_init=conv_kernel_init,
-                    dtype=x.dtype)(x)
+                    dtype=jnp.float32)(x.astype(jnp.float32))
         act = _ACTS[self.last_act]
         if act is not None:
             x = act(x)
@@ -99,7 +107,9 @@ class Decoder(nn.Module):
 
 
 class CodeDecoupler(nn.Module):
-    """z_i -> z_s filter: conv3-BN-LReLU-conv3-BN-ReLU (Dual_Branch_Encoder.code_decoupler)."""
+    """z_i -> z_s filter: conv3-BN-LReLU-conv3-BN-ReLU (Dual_Branch_Encoder.code_decoupler).
+
+    Always float32: both ends are latent codes (masking targets)."""
 
     features: int
 
@@ -120,10 +130,12 @@ class DualBranchEncoder(nn.Module):
 
     feature_reduce: int = 4
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         f = self.feature_reduce
-        self.general_encoder = Encoder(feature_reduce=f, act="relu", dropout=self.dropout)
+        self.general_encoder = Encoder(feature_reduce=f, act="relu",
+                                       dropout=self.dropout, dtype=self.dtype)
         self.code_decoupler = CodeDecoupler(features=512 // f)
 
     def __call__(self, x, train: bool = False):

@@ -102,7 +102,11 @@ class CooperativeTripletSolver:
         decoder_dropout: Optional[float] = None,
         input_hw: Tuple[int, int] = (192, 192),
         temperature: float = 2.0,
+        compute_dtype: Optional[Any] = None,
     ):
+        """``compute_dtype``: conv compute dtype; ``jnp.bfloat16`` runs the
+        conv stacks on the MXU in bf16 (params, norms, latents, logits, and
+        losses stay float32) — the TPU mixed-precision speed path."""
         assert network_type in NETWORK_TYPES, f"unknown network_type {network_type}"
         assert "16" in network_type  # '16' => reduce_factor 4 (advanced...py:87-90)
         self.network_type = network_type
@@ -112,25 +116,28 @@ class CooperativeTripletSolver:
         self.n_iter = n_iter
         self.input_hw = input_hw
         self.temperature = temperature
+        self.compute_dtype = compute_dtype
         f = 4
         self.feature_reduce = f
         self.latent_ch = 512 // f  # 128
         self.latent_hw = (input_hw[0] // 16, input_hw[1] // 16)
 
         # module plan mirrors get_network (advanced...py:86-106)
+        dt = compute_dtype
         self.modules = {
-            "image_encoder": DualBranchEncoder(feature_reduce=f, dropout=encoder_dropout),
+            "image_encoder": DualBranchEncoder(feature_reduce=f, dropout=encoder_dropout,
+                                               dtype=dt),
             "segmentation_decoder": Decoder(
                 output_channel=num_classes, feature_reduce=f, up_type="NN",
-                dropout=decoder_dropout),
+                dropout=decoder_dropout, dtype=dt),
             "image_decoder": Decoder(
                 output_channel=image_ch, feature_reduce=f, up_type="Conv2",
-                last_act="sigmoid", dropout=decoder_dropout),
+                last_act="sigmoid", dropout=decoder_dropout, dtype=dt),
             "shape_encoder": Encoder(feature_reduce=f, act="relu",
-                                     dropout=encoder_dropout),
+                                     dropout=encoder_dropout, dtype=dt),
             "shape_decoder": Decoder(
                 output_channel=num_classes, feature_reduce=f, up_type="NN",
-                dropout=decoder_dropout),
+                dropout=decoder_dropout, dtype=dt),
         }
         self.tx = optax.adam(learning_rate)
 
