@@ -64,6 +64,9 @@ def _task_loss(decoder_fn: Callable, code, target, loss_name: str, num_classes: 
     raise NotImplementedError(loss_name)
 
 
+USE_PALLAS_MASK = True  # fused TPU kernel for the percentile mask (C22)
+
+
 def _threshold_mask(saliency, percentile, dim: int, if_soft: bool,
                     rng: Optional[jax.Array]):
     """Descending-sort percentile threshold -> {0 | 0.5*U(0,1) | 1} mask.
@@ -72,7 +75,22 @@ def _threshold_mask(saliency, percentile, dim: int, if_soft: bool,
     ``int(dim * p)`` index semantics (elements with saliency strictly greater
     than the value at that sorted index are masked).
     ``saliency``: (N, dim).  Returns (N, dim) float mask.
+
+    On TPU this dispatches to the fused sort-free Pallas kernel
+    (ops/pallas_kernels.fused_percentile_mask); the jnp path below is the
+    portable reference implementation.
     """
+    if USE_PALLAS_MASK and jax.default_backend() == "tpu":
+        from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_kernels import (
+            fused_percentile_mask,
+        )
+        if if_soft:
+            assert rng is not None
+            soft_vals = 0.5 * jax.random.uniform(rng, saliency.shape, jnp.float32)
+        else:
+            soft_vals = jnp.zeros(saliency.shape, jnp.float32)
+        return fused_percentile_mask(saliency, percentile,
+                                     soft_vals).astype(saliency.dtype)
     idx = jnp.clip(jnp.floor(dim * percentile).astype(jnp.int32), 0, dim - 1)
     sorted_desc = -jnp.sort(-saliency, axis=1)
     thresh = jax.lax.dynamic_index_in_dim(sorted_desc, idx, axis=1, keepdims=True)

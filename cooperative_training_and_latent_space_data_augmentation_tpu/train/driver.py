@@ -131,7 +131,10 @@ def train_network(experiment_name: str,
     try:
         for i_epoch in range(start_epoch, n_epochs):
             last_epoch = i_epoch
-            loss_acc = {k: 0.0 for k in LOSS_KEYS}
+            # metrics stay on device during the epoch (a float() per step
+            # would force a sync and stall the async dispatch pipeline);
+            # one device_get at epoch end.
+            step_metrics = []
             g_count = 0
             rng, epoch_key = jax.random.split(rng)
             for batch in batcher.epoch(epoch_key):
@@ -139,14 +142,16 @@ def train_network(experiment_name: str,
                     break
                 rng, step_key = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_key)
-                for k in LOSS_KEYS:
-                    loss_acc[k] += float(metrics[k])
+                step_metrics.append(metrics)
                 g_count += 1
                 i_iter += 1
                 if i_iter > learning.max_iteration:
                     stop_flag = True
             if g_count == 0:
                 break
+            host_metrics = jax.device_get(step_metrics)
+            loss_acc = {k: float(sum(m[k] for m in host_metrics))
+                        for k in LOSS_KEYS}
             total = loss_acc["loss/standard/total"] + loss_acc["loss/hard/total"]
             print(f"{experiment_name} network: {solver.network_type} epoch "
                   f"{i_epoch} training loss iter: {g_count}, total loss: "
