@@ -125,6 +125,68 @@ class CodeDecoupler(nn.Module):
         return nn.relu(h)
 
 
+class DomainSpecificEncoder(nn.Module):
+    """Encoder with per-domain BatchNorm banks
+    (encoder_decoder.DomainSpecificEncoder:568-643 + ds_res_convdown
+    :506-565): same topology as :class:`Encoder` but every norm is a
+    :class:`DomainSpecificBatchNorm` selected by a static ``domain_id``.
+    """
+
+    feature_reduce: int = 1
+    num_domains: int = 2
+    act: Optional[str] = "sigmoid"
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, domain_id: int = 0, train: bool = False):
+        from cooperative_training_and_latent_space_data_augmentation_tpu.models.layers import (
+            DomainSpecificBatchNorm,
+        )
+
+        f = self.feature_reduce
+        dsbn = lambda name: DomainSpecificBatchNorm(self.num_domains, name=name)
+
+        # inc: conv3-DSBN-LReLU-conv3-DSBN (ds inc convs, :577-597)
+        h = nn.Conv(64 // f, (3, 3), padding="SAME",
+                    kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+        h = dsbn("norm_1")(h, domain_id, train)
+        h = leaky_relu(h)
+        h = nn.Conv(64 // f, (3, 3), padding="SAME",
+                    kernel_init=conv_kernel_init, dtype=h.dtype)(h)
+        h = dsbn("norm_2")(h, domain_id, train)
+        h = leaky_relu(h)
+
+        def ds_res_down(feats, h, idx):
+            # ds_res_convdown (:506-565): stride-2 conv then DSBN residual core
+            h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), kernel_init=conv_kernel_init,
+                        dtype=h.dtype)(h)
+            sc = nn.Conv(feats, (1, 1), kernel_init=conv_kernel_init,
+                         dtype=h.dtype)(h)
+            r = nn.Conv(feats, (3, 3), padding="SAME",
+                        kernel_init=conv_kernel_init, dtype=h.dtype)(h)
+            r = dsbn(f"down{idx}_norm_1")(r, domain_id, train)
+            r = leaky_relu(r)
+            r = nn.Conv(feats, (3, 3), padding="SAME",
+                        kernel_init=conv_kernel_init, dtype=r.dtype)(r)
+            r = dsbn(f"down{idx}_norm_2")(r, domain_id, train)
+            out = leaky_relu(sc + r)
+            if self.dropout is not None and self.dropout > 0:
+                out = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
+                                 deterministic=not train)(out)
+            return out
+
+        h = ds_res_down(128 // f, h, 1)
+        h = ds_res_down(256 // f, h, 2)
+        h = ds_res_down(512 // f, h, 3)
+        h = ds_res_down(512 // f, h, 4)
+        h = nn.Conv(512 // f, (1, 1), kernel_init=conv_kernel_init,
+                    dtype=h.dtype)(h)
+        h = dsbn("final_norm")(h, domain_id, train)
+        act = _ACTS[self.act]
+        return act(h) if act is not None else h
+
+
 class DualBranchEncoder(nn.Module):
     """FTN encoder producing (z_i, z_s) (Dual_Branch_Encoder, :456-503)."""
 

@@ -84,13 +84,18 @@ class DomainSpecificBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, domain_id: int, train: bool = False):
         assert 0 <= domain_id < self.num_domains
-        # instantiate all branches so params exist regardless of domain used
-        outs = [
+        banks = [
             nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=x.dtype, name=f"bn_{d}")
             for d in range(self.num_domains)
         ]
-        return outs[domain_id](x)
+        if self.is_initializing():
+            # materialize every domain's params/stats at init; afterwards only
+            # the selected domain is run (and only its stats update), exactly
+            # like the torch ModuleList selection (custom_layers.py:10-46).
+            outs = [bn(x) for bn in banks]
+            return outs[domain_id]
+        return banks[domain_id](x)
 
 
 class BatchInstanceNorm(nn.Module):
@@ -109,6 +114,25 @@ class BatchInstanceNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
         return (rho * bn + (1.0 - rho) * inm) * gamma + beta
+
+
+def adaptive_instance_norm(x, weight, bias, eps: float = 1e-5):
+    """AdaIN (custom_layers.AdaptiveInstanceNorm2d:212-241): instance-
+    normalize NHWC ``x`` then scale/shift with externally supplied style
+    parameters ``weight``/``bias`` ((C,) or (N, 1, 1, C))."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    return xn * weight + bias
+
+
+def adaptive_batch_norm(x, weight, bias, eps: float = 1e-5):
+    """AdaBN (custom_layers.AdaptiveBatchNorm2d:247-282): batch-normalize
+    NHWC ``x`` with batch statistics, scale/shift with supplied params."""
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    return xn * weight + bias
 
 
 def bilinear_additive_upsampling(x, to_channel: int):

@@ -458,6 +458,89 @@ def eval_transform_sample(img_hwc, label_hw=None,
     return img, lbl
 
 
+def motion_estimation(rng, label_nhw, shift: float = 1.0):
+    """Inter-slice motion simulation for label stacks
+    (affine_transform.motion_estimation:109-134): each slice gets an
+    independent random translation ``clip(N(0,1),-3,3)*shift`` applied with
+    nearest-neighbor (order-0) sampling and zero fill.
+
+    label_nhw: (N, H, W) int labels.  Returns the shifted stack.
+    """
+    n, h, w = label_nhw.shape
+    shifts = jnp.clip(jax.random.normal(rng, (n, 2)), -3.0, 3.0) * shift
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def one(slice_hw, dyx):
+        # order-0: round source coordinates, zero outside
+        sy = jnp.round(ys + dyx[0]).astype(jnp.int32)
+        sx = jnp.round(xs + dyx[1]).astype(jnp.int32)
+        valid = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
+        sy = jnp.clip(sy, 0, h - 1)
+        sx = jnp.clip(sx, 0, w - 1)
+        out = slice_hw[sy, sx]
+        return jnp.where(valid, out, 0)
+
+    return jax.vmap(one)(label_nhw, shifts)
+
+
+def clahe(image_hw: "np.ndarray", clip_limit: float = 0.01, nbins: int = 256,
+          tile_grid: Tuple[int, int] = (8, 8)) -> "np.ndarray":
+    """Contrast-limited adaptive histogram equalization, self-contained
+    numpy (host-side; the reference wraps skimage ``equalize_adapthist``,
+    intensity_transform.MyRandomImageContrastTransform:12-65, which is
+    disabled by default in every policy).
+
+    Tile histograms are clipped at ``clip_limit * tile_size`` with the
+    excess redistributed, per-tile CDF mappings are bilinearly blended.
+    Input any float range; output rescaled to the input's [min, max].
+    """
+    import numpy as np
+
+    img = np.asarray(image_hw, np.float64)
+    lo, hi = img.min(), img.max()
+    if hi - lo < 1e-12:
+        return np.asarray(image_hw).copy()
+    norm = (img - lo) / (hi - lo)
+    h, w = norm.shape
+    gh, gw = tile_grid
+    bins = np.minimum((norm * (nbins - 1)).astype(np.int64), nbins - 1)
+
+    # per-tile clipped-CDF lookup tables
+    ys = np.linspace(0, h, gh + 1).astype(int)
+    xs = np.linspace(0, w, gw + 1).astype(int)
+    luts = np.zeros((gh, gw, nbins))
+    for i in range(gh):
+        for j in range(gw):
+            tile = bins[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            hist = np.bincount(tile.ravel(), minlength=nbins).astype(np.float64)
+            limit = max(clip_limit * tile.size, 1.0)
+            excess = np.clip(hist - limit, 0, None).sum()
+            hist = np.minimum(hist, limit) + excess / nbins
+            cdf = np.cumsum(hist)
+            luts[i, j] = (cdf - cdf[0]) / max(cdf[-1] - cdf[0], 1e-12)
+
+    # bilinear blend of the 4 surrounding tile mappings per pixel
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    cx = (xs[:-1] + xs[1:]) / 2.0
+    py = np.clip(np.interp(np.arange(h), cy, np.arange(gh)), 0, gh - 1)
+    px = np.clip(np.interp(np.arange(w), cx, np.arange(gw)), 0, gw - 1)
+    y0 = np.floor(py).astype(int); y1 = np.minimum(y0 + 1, gh - 1)
+    x0 = np.floor(px).astype(int); x1 = np.minimum(x0 + 1, gw - 1)
+    fy = (py - y0)[:, None]
+    fx = (px - x0)[None, :]
+
+    def lut_at(ti, tj):
+        return luts[ti[:, None], tj[None, :], bins]
+
+    out = ((1 - fy) * (1 - fx) * lut_at(y0, x0)
+           + (1 - fy) * fx * lut_at(y0, x1)
+           + fy * (1 - fx) * lut_at(y1, x0)
+           + fy * fx * lut_at(y1, x1))
+    return (out * (hi - lo) + lo).astype(np.asarray(image_hw).dtype)
+
+
 def make_batch_augment(policy_name: str, pad_hw=(224, 224), crop_hw=(192, 192),
                        num_classes: int = 4):
     """Jitted, vmapped batch augmentation: (key, images NHWC, labels NHW) ->

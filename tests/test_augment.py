@@ -146,3 +146,38 @@ def test_eval_transform_batch():
     run = A.make_batch_eval_transform()
     oi, ol = run(images, labels)
     assert oi.shape == (2, 192, 192, 1) and ol.shape == (2, 192, 192)
+
+
+def test_motion_estimation(rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
+        motion_estimation,
+    )
+
+    label = jnp.zeros((3, 16, 16), jnp.int32).at[:, 6:10, 6:10].set(2)
+    out = motion_estimation(rng, label, shift=2.0)
+    assert out.shape == label.shape
+    # labels preserved (no interpolation artifacts), area roughly conserved
+    assert set(np.unique(np.asarray(out))) <= {0, 2}
+    assert np.asarray(out).sum() <= np.asarray(label).sum()
+    # zero shift is identity
+    out0 = motion_estimation(rng, label, shift=0.0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(label))
+
+
+def test_clahe_enhances_contrast(np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import clahe
+
+    # faint texture on a flat background: CLAHE amplifies local contrast
+    img = (0.5 + 0.01 * np_rng.randn(64, 64)).astype(np.float32)
+    out = clahe(img, clip_limit=1.0)
+    assert out.shape == img.shape
+    assert out.dtype == img.dtype
+    # output stays within the input intensity range and spreads the histogram
+    assert out.min() >= img.min() - 1e-5 and out.max() <= img.max() + 1e-5
+    assert out.std() > img.std() * 1.5
+    # a smooth global ramp is flattened (local mappings cancel the gradient)
+    ramp = np.linspace(0.4, 0.6, 64 * 64).reshape(64, 64).astype(np.float32)
+    assert clahe(ramp, clip_limit=1.0).std() < ramp.std()
+    # constant image passes through unchanged
+    const = np.full((32, 32), 0.5, np.float32)
+    np.testing.assert_array_equal(clahe(const), const)

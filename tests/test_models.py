@@ -137,3 +137,40 @@ def test_layers_smoke():
     variables = attn.init(jax.random.PRNGKey(0), x)
     y, a = attn.apply(variables, x)
     assert y.shape == x.shape and a.shape == (2, 256, 256)
+
+
+def test_unet3d_parts():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models.unet3d import (
+        UNet3D,
+        UnetConv3,
+        UnetUp3,
+    )
+
+    x = jnp.ones((1, 4, 32, 32, 1)) * 0.5  # NDHWC
+    conv = UnetConv3(8)
+    v = conv.init(jax.random.PRNGKey(0), x, train=False)
+    y, _ = conv.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (1, 4, 32, 32, 8)
+    net = UNet3D(num_classes=4, feature_scale=4)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = net.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (1, 4, 32, 32, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_domain_specific_encoder():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models.encoder_decoder import (
+        DomainSpecificEncoder,
+    )
+
+    x = jnp.ones((2, 64, 64, 1)) * 0.3
+    enc = DomainSpecificEncoder(feature_reduce=4, num_domains=2, act="relu")
+    v = enc.init(jax.random.PRNGKey(0), x, domain_id=0, train=False)
+    z0, ups0 = enc.apply(v, x, domain_id=0, train=True, mutable=["batch_stats"])
+    z1, ups1 = enc.apply(v, x, domain_id=1, train=True, mutable=["batch_stats"])
+    assert z0.shape == (2, 4, 4, 128)
+    # same params, same input -> identical outputs across fresh domains...
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), rtol=1e-5, atol=1e-6)
+    # ...but only domain 0's stats moved in the domain-0 pass
+    s0 = jax.tree_util.tree_leaves(ups0["batch_stats"])
+    assert any(np.any(np.asarray(a) != 0) for a in s0)

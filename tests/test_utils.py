@@ -165,3 +165,42 @@ def test_unit_norm():
     y2 = unit_norm(x, use_p_norm=True)
     n = np.linalg.norm(np.asarray(y2).reshape(2, -1), axis=1)
     np.testing.assert_allclose(n, 1.0, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------- EMA
+def test_exponential_moving_average():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.ema import (
+        ExponentialMovingAverage,
+    )
+    import jax.numpy as jnp
+
+    params = {"w": jnp.zeros((3,))}
+    ema = ExponentialMovingAverage(params, decay=0.9, use_num_updates=True)
+    new = {"w": jnp.ones((3,))}
+    ema.update(new)
+    # warm-up: decay = min(0.9, 2/11) -> shadow moves most of the way
+    np.testing.assert_allclose(np.asarray(ema.copy_to()["w"]),
+                               (1 - 2 / 11) * 1.0, rtol=1e-5)
+    ema.store(new)
+    assert ema.restore() is new
+    ema2 = ExponentialMovingAverage(params, decay=0.5, use_num_updates=False)
+    ema2.update(new)
+    np.testing.assert_allclose(np.asarray(ema2.copy_to()["w"]), 0.5, rtol=1e-6)
+    with pytest.raises(ValueError):
+        ExponentialMovingAverage(params, decay=1.5)
+
+
+def test_adaptive_norms():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models.layers import (
+        adaptive_batch_norm,
+        adaptive_instance_norm,
+    )
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4).astype(np.float32))
+    out = adaptive_instance_norm(x, jnp.full((4,), 2.0), jnp.full((4,), 1.0))
+    # per-sample/per-channel mean ~1 (bias), std ~2 (weight)
+    np.testing.assert_allclose(np.asarray(out.mean((1, 2))), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.std((1, 2))), 2.0, atol=1e-2)
+    out_b = adaptive_batch_norm(x, jnp.ones((4,)), jnp.zeros((4,)))
+    np.testing.assert_allclose(np.asarray(out_b.mean((0, 1, 2))), 0.0, atol=1e-5)
