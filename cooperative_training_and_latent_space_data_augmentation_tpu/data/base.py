@@ -166,6 +166,22 @@ class ConcatDataset(SegDatasetBase):
         return d.get_patient_data_for_testing(local, crop_size)
 
 
+def get_all_image_array_from_dataset(dataset) -> "np.ndarray":
+    """Stack every slice image in a dataset
+    (dataset_utils.get_all_image_array_from_datastet:72-84)."""
+    arrays = [np.asarray(dataset.load_data(i)[0]) for i in range(len(dataset))]
+    return np.stack(arrays)
+
+
+def get_mean_image(dataset) -> "np.ndarray":
+    """Pixelwise mean image over a dataset (dataset_utils.get_mean_image:86-91)."""
+    total = None
+    for i in range(len(dataset)):
+        img = np.asarray(dataset.load_data(i)[0], np.float64)
+        total = img if total is None else total + img
+    return (total / max(len(dataset), 1)).astype(np.float32)
+
+
 class CombinedDataset:
     """Paired source/target sampling (CombinedDataSet:230-247)."""
 

@@ -458,6 +458,43 @@ def eval_transform_sample(img_hwc, label_hw=None,
     return img, lbl
 
 
+class Transformations:
+    """API-parity facade over the device augmentation pipeline
+    (transform.Transformations:7-112): ``get_transformation()`` returns the
+    reference's four named pipelines as *batched jitted device functions*.
+
+      'train'        (key, images NHWC, labels NHW) -> (images, labels)
+      'aug_validate' same as 'train' (transform.py:98)
+      'validate'     (images, labels) -> (images, labels)  pad-crop-normalize
+      'test'         (images,) -> images                   image-only
+
+    Unlike the reference's per-sample CPU torchsample compose, these vmap
+    over the batch on device.
+    """
+
+    def __init__(self, data_aug_policy_name: str = "ACDC_affine_elastic_intensity",
+                 pad_size=(224, 224), crop_size=(192, 192), num_classes: int = 4):
+        self.policy_name = data_aug_policy_name
+        self.pad_hw = tuple(pad_size[:2])
+        self.crop_hw = tuple(crop_size[:2])
+        self.num_classes = num_classes
+
+    def get_transformation(self):
+        train = make_batch_augment(self.policy_name, self.pad_hw, self.crop_hw,
+                                   num_classes=self.num_classes)
+        validate = make_batch_eval_transform(self.pad_hw, self.crop_hw)
+
+        @jax.jit
+        def test(images):
+            # image-only pipeline (transform.py:100-109): label arg omitted
+            return jax.vmap(
+                lambda i: eval_transform_sample(i, None, self.pad_hw,
+                                                self.crop_hw))(images)
+
+        return {"train": train, "validate": validate, "test": test,
+                "aug_validate": train}
+
+
 def motion_estimation(rng, label_nhw, shift: float = 1.0):
     """Inter-slice motion simulation for label stacks
     (affine_transform.motion_estimation:109-134): each slice gets an

@@ -181,3 +181,22 @@ def test_clahe_enhances_contrast(np_rng):
     # constant image passes through unchanged
     const = np.full((32, 32), 0.5, np.float32)
     np.testing.assert_array_equal(clahe(const), const)
+
+
+def test_transformations_facade(rng, np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
+        Transformations,
+    )
+
+    t = Transformations("ACDC_affine", pad_size=(48, 48), crop_size=(32, 32))
+    pipes = t.get_transformation()
+    assert set(pipes) == {"train", "validate", "test", "aug_validate"}
+    assert pipes["aug_validate"] is pipes["train"]  # transform.py:98
+    imgs = jnp.asarray(np_rng.rand(2, 40, 40, 1).astype(np.float32))
+    lbls = jnp.asarray(np_rng.randint(0, 4, (2, 40, 40)).astype(np.int32))
+    ti, tl = pipes["train"](rng, imgs, lbls)
+    assert ti.shape == (2, 32, 32, 1) and tl.shape == (2, 32, 32)
+    vi, vl = pipes["validate"](imgs, lbls)
+    assert vi.shape == (2, 32, 32, 1) and float(vi.min()) >= -1e-5
+    te = pipes["test"](imgs)
+    assert te.shape == (2, 32, 32, 1)

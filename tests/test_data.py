@@ -243,3 +243,17 @@ def test_prostate_dataset(tmp_path):
                                    binary_segmentation=True, pad_size=(16, 16))
     _, gtb = dsb.get_patient_data_for_testing(0, crop_size=(16, 16))
     assert set(np.unique(gtb)) <= {0, 1}
+
+
+def test_mean_image_helpers():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.base import (
+        get_all_image_array_from_dataset,
+        get_mean_image,
+    )
+
+    ds = SyntheticSegDataset(length=4, pad_size=(32, 32), seed=0)
+    arr = get_all_image_array_from_dataset(ds)
+    assert arr.shape[0] == 4
+    mean = get_mean_image(ds)
+    assert mean.shape == arr.shape[1:]
+    np.testing.assert_allclose(mean, arr.mean(axis=0), rtol=1e-5, atol=1e-6)

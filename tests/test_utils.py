@@ -204,3 +204,43 @@ def test_adaptive_norms():
     np.testing.assert_allclose(np.asarray(out.std((1, 2))), 2.0, atol=1e-2)
     out_b = adaptive_batch_norm(x, jnp.ones((4,)), jnp.zeros((4,)))
     np.testing.assert_allclose(np.asarray(out_b.mean((0, 1, 2))), 0.0, atol=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"params": {"w": jnp.arange(4, dtype=jnp.float32)},
+             "step": jnp.asarray(7, jnp.int32)}
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state, step=7)
+    save_checkpoint(d, jax.tree.map(lambda x: x + 1, state), step=8)
+    assert latest_step(d) == 8
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(d, template)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(4) + 1)
+    restored7 = restore_checkpoint(d, template, step=7)
+    np.testing.assert_allclose(np.asarray(restored7["params"]["w"]), np.arange(4))
+
+
+def test_profiling_utils(tmp_path):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.profiling import (
+        cost_summary,
+        time_fn,
+        trace,
+    )
+
+    f = jax.jit(lambda x: (x @ x.T).sum())
+    x = jnp.ones((64, 64))
+    t = time_fn(f, x, warmup=1, iters=3)
+    assert t["compile_s"] > 0 and t["steady_s"] > 0
+    cs = cost_summary(f, x, measured_s=t["steady_s"])
+    assert cs["flops"] > 0
+    with trace(str(tmp_path / "tb")):
+        jax.block_until_ready(f(x))
+    import os
+    assert any(os.scandir(str(tmp_path / "tb")))
