@@ -122,6 +122,24 @@ class TestSegmentationNetwork:
     def worst_k(self, k: int = 5) -> List[Dict]:
         return sorted(self.patient_results, key=lambda r: r["dice"])[:k]
 
+    def save_top_k_result(self, save_dir: str, k: int = 5,
+                          worst: bool = False) -> List[str]:
+        """PNG grids (input/GT/pred) for the k best or worst patients
+        (test_basic_segmentation_solver.save_top_k_result:202-256)."""
+        from cooperative_training_and_latent_space_data_augmentation_tpu.utils.save import (
+            save_testing_images_results,
+        )
+
+        chosen = self.worst_k(k) if worst else self.top_k(k)
+        tag = "worst" if worst else "top"
+        paths = []
+        for rank, rec in enumerate(chosen):
+            name = f"{tag}_{rank}_{rec['pid']}_dice_{rec['dice']:.3f}"
+            paths.append(save_testing_images_results(
+                rec["image"][:, :, :, 0], rec["gt"], rec["pred"],
+                save_dir, name, max_slices=5))
+        return paths
+
 
 def evaluate_cross_domain(predict_fn: Callable, datasets: Dict[str, object],
                           save_dir: Optional[str] = None,

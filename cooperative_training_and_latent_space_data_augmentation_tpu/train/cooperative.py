@@ -448,6 +448,18 @@ class CooperativeTripletSolver:
         _, s_t, _, _ = jax.lax.while_loop(cond, body, init)
         return s_t
 
+    def evaluate(self, params, stats, x, targets, running_metric,
+                 n_iter: Optional[int] = None):
+        """Predict + update a RunningScore; returns (pred_labels, cached)
+        where cached = (images, preds, gts) for PNG dumps
+        (advanced...py:643-664)."""
+        pred = self.predict(params, stats, x, n_iter=n_iter)
+        pred_lbl = jnp.argmax(pred, axis=-1)
+        targets_np = np.asarray(targets)
+        pred_np = np.asarray(pred_lbl)
+        running_metric.update(targets_np, pred_np)
+        return pred_lbl, (np.asarray(x), pred_np, targets_np)
+
     def get_recon_diff(self, params, stats, x):
         """|I - I'|, |S1 - S0|, S0, S1, I' (advanced...py:352-373)."""
         (z_i, z_s), first, _ = self.fast_predict(params, stats, x, train=False)

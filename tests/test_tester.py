@@ -76,3 +76,51 @@ def test_cross_domain_driver(tmp_path):
     assert set(results) == {"domainA", "domainB"}
     for name in results:
         assert (tmp_path / name / "summary.csv").exists()
+
+
+def test_save_top_k_result(tmp_path):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.eval.tester import (
+        TestSegmentationNetwork,
+    )
+
+    ds = SyntheticSegDataset(length=6, pad_size=(64, 64), n_patients=2,
+                             slices_per_patient=3)
+    predict = jax.jit(lambda x: jnp.zeros(x.shape[:3] + (4,)).at[..., 0].set(1.0))
+    t = TestSegmentationNetwork(ds, predict, crop_size=(48, 48), chunk_size=4)
+    t.run()
+    paths = t.save_top_k_result(str(tmp_path), k=2)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    worst = t.save_top_k_result(str(tmp_path), k=1, worst=True)
+    assert os.path.exists(worst[0])
+
+
+def test_solver_evaluate_updates_metric():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.eval.metrics import (
+        RunningScore,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+        CooperativeTripletSolver,
+    )
+
+    solver = CooperativeTripletSolver(input_hw=(32, 32))
+    state = solver.init_state(jax.random.PRNGKey(0))
+    running = RunningScore(4)
+    x = jnp.ones((2, 32, 32, 1)) * 0.5
+    y = jnp.zeros((2, 32, 32), jnp.int32)
+    pred_lbl, (imgs, preds, gts) = solver.evaluate(
+        state.params, state.batch_stats, x, y, running, n_iter=2)
+    assert pred_lbl.shape == (2, 32, 32)
+    score, _ = running.get_scores()
+    assert np.isfinite(score["Overall Acc: \t"])
