@@ -35,6 +35,12 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 import jax
 import jax.numpy as jnp
 
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 NOMINAL_BASELINE_SLICES_PER_SEC = 100.0
 
 

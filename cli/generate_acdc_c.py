@@ -22,6 +22,12 @@ from os.path import join
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import jax
 import numpy as np
 

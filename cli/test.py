@@ -20,6 +20,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import jax
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (

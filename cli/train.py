@@ -17,7 +17,15 @@ import argparse
 import os
 import sys
 
+import jax.numpy as jnp
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
     ExperimentConfig,
@@ -55,6 +63,8 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic phantom dataset (CPU-runnable smoke)")
     p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 conv compute on the MXU (params/norms/losses f32)")
     p.add_argument("--n_devices", type=int, default=None,
                    help="shard the batch over a data-parallel mesh")
     return p.parse_args()
@@ -100,7 +110,8 @@ def main():
         learning_rate=cfg.learning.lr,
         encoder_dropout=cfg.segmentation_model.encoder_dropout,
         decoder_dropout=cfg.segmentation_model.decoder_dropout,
-        input_hw=cfg.data.crop_hw)
+        input_hw=cfg.data.crop_hw,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     mesh = None
     if args.n_devices:
         from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (

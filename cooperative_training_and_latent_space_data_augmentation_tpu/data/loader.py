@@ -69,6 +69,36 @@ def collate(dataset: SegDatasetBase, indices: np.ndarray) -> Dict[str, np.ndarra
             "label": np.stack(labels).astype(np.int32)}
 
 
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run an iterator on a background thread with a bounded queue, so host
+    collation overlaps device compute (replaces the reference's DataLoader
+    worker processes, train...py:113-116 — the heavy augmentation already
+    runs on device, only numpy collation needs hiding)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class CooperativeBatcher:
     """Yields device-ready training batches at crop resolution.
 
@@ -96,9 +126,21 @@ class CooperativeBatcher:
     def __len__(self) -> int:
         return len(self.sampler)
 
-    def epoch(self, rng_key) -> Iterator[Dict[str, jax.Array]]:
+    def raw_epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Numpy-only collation — safe to run on a prefetch thread."""
         for indices in self.sampler.epoch():
-            raw = collate(self.dataset, indices)
+            yield collate(self.dataset, indices)
+
+    def epoch(self, rng_key, prefetch_size: int = 2
+              ) -> Iterator[Dict[str, jax.Array]]:
+        """Device-ready batches.  Host collation is prefetched on a
+        background thread; ALL jax dispatch happens on the caller's thread
+        (dispatching from a second thread deadlocks on some experimental
+        backends, e.g. the axon TPU tunnel)."""
+        raw_it = self.raw_epoch()
+        if prefetch_size:
+            raw_it = prefetch(raw_it, prefetch_size)
+        for raw in raw_it:
             rng_key, sub = jax.random.split(rng_key)
             img = jax.numpy.asarray(raw["image"])
             lbl = jax.numpy.asarray(raw["label"])

@@ -257,3 +257,20 @@ def test_mean_image_helpers():
     mean = get_mean_image(ds)
     assert mean.shape == arr.shape[1:]
     np.testing.assert_allclose(mean, arr.mean(axis=0), rtol=1e-5, atol=1e-6)
+
+
+def test_prefetch_iterator():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        prefetch,
+    )
+
+    assert list(prefetch(iter(range(10)), size=2)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
