@@ -90,9 +90,16 @@ def build_datasets(args):
         for name in CORRUPTION_NAMES:
             root = os.path.join(args.acdc_c_root, name)
             if os.path.isdir(root):
-                per_frame = [CardiacMMDataset(root_dir=root, frame=f,
-                                              dataset_name=name)
-                             for f in args.frames]
+                # ACDC-C volumes are NRRD ({attack}/{pid}_{seed}/{frame}_img.nrrd,
+                # written by cli/generate_acdc_c.py mirroring
+                # generate_artefacted_data.py:66-110) and already preprocessed —
+                # no resample/normalize on load.
+                per_frame = [CardiacMMDataset(
+                    root_dir=root, frame=f, dataset_name=name,
+                    image_format_name="{p_id}/{frame}_img.nrrd",
+                    label_format_name="{p_id}/{frame}_seg.nrrd",
+                    if_resample=False, normalize=False)
+                    for f in args.frames]
                 datasets[name] = ConcatDataset(per_frame)
     return datasets
 
