@@ -104,6 +104,28 @@ def plot_intensity_distributions(volumes: Dict[str, np.ndarray],
     return fig
 
 
+def plot_image(data, ax=None, font_size: int = 12, title: str = "before"):
+    """Grayscale 2-D image panel (vis.plot_image:49-63)."""
+    return plot_general(data, ax=ax, font_size=font_size, title=title,
+                        cmap="gray")
+
+
+def plot_general(data, ax=None, font_size: int = 12, title: str = "",
+                 cmap: str = "gray"):
+    """Generic 2-D array panel (vis.plot_general:66-80)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        ax = plt.gca()
+    ax.imshow(np.asarray(data), cmap=cmap)
+    ax.set_title(title, size=font_size, weight="bold")
+    ax.set_axis_off()
+    ax.grid(False)
+    return ax
+
+
 def prediction_entropy(logits_nhwc) -> np.ndarray:
     """Per-pixel predictive entropy map (common_utils/uncertainty.py:7-54)."""
     p = jax.nn.softmax(jnp.asarray(logits_nhwc), axis=-1)

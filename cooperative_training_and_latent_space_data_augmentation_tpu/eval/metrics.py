@@ -336,3 +336,25 @@ def print_metric(running_metric: RunningScore, name: str = "") -> Dict[str, floa
     for k, v in score.items():
         print(k, v)
     return score
+
+
+def write_eval_scores_to_disk(running_metrics_groups: Dict[str, "RunningSegmentationScore"],
+                              txt_path: str, views: Sequence[str],
+                              metrics: Sequence[str] = ("Dice", "HD")) -> str:
+    """Cross-view text report (metrics.write_eval_scores_to_disk:381-408):
+    one header line of '<view> [<metric>]' columns, one line of
+    'mean (std)' cells, aggregated over all patients/classes per view."""
+    with open(txt_path, "w") as f:
+        header = [f"{view} [{m}]  , " for m in metrics for view in views]
+        f.writelines(header + ["\n"])
+        cells = []
+        for m in metrics:
+            for view in views:
+                rm = running_metrics_groups[view]
+                vals = np.concatenate([
+                    np.asarray(v, np.float64)
+                    for k, v in rm.multi_scores.items() if k.endswith(f"_{m}")
+                ]) if rm.multi_scores else np.asarray([np.nan])
+                cells.append(f"{np.nanmean(vals):.3f} ({np.nanstd(vals):.3f}), ")
+        f.writelines(cells + ["\n"])
+    return txt_path

@@ -100,3 +100,43 @@ def test_confusion_matrix_update_device():
     lp = jnp.array([[0, 1, 1, 1]])
     conf = M.confusion_matrix_update(conf, lt, lp)
     np.testing.assert_array_equal(np.asarray(conf), [[1, 1], [0, 2]])
+
+
+def test_write_eval_scores_to_disk(tmp_path):
+    import numpy as np
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.eval.metrics import (
+        RunningSegmentationScore,
+        write_eval_scores_to_disk,
+    )
+
+    rm = RunningSegmentationScore(n_classes=2, idx2cls_dict={0: "BG", 1: "FG"},
+                                  metrics_list=["Dice", "HD"])
+    pred = np.zeros((2, 8, 8), np.int32)
+    pred[:, 2:5, 2:5] = 1
+    gt = np.zeros((2, 8, 8), np.int32)
+    gt[:, 2:5, 2:6] = 1
+    rm.update("p0", pred, gt, voxel_spacing=[1, 1, 1])
+    path = write_eval_scores_to_disk({"A": rm}, str(tmp_path / "report.txt"), ["A"])
+    lines = open(path).read().splitlines()
+    assert "A [Dice]" in lines[0] and "A [HD]" in lines[0]
+    assert "(" in lines[1]
+
+
+def test_plot_helpers(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.analysis.visualize import (
+        plot_general,
+        plot_image,
+    )
+
+    fig, axes = plt.subplots(1, 2)
+    plot_image(np.random.rand(8, 8), ax=axes[0], title="img")
+    plot_general(np.random.rand(8, 8), ax=axes[1], title="any", cmap="viridis")
+    fig.savefig(str(tmp_path / "panel.png"))
+    plt.close(fig)
+    assert (tmp_path / "panel.png").exists()
