@@ -163,6 +163,18 @@ def visualize_hard_examples(solver, state, images_nhwc, labels_nhw, out_dir: str
                                         state.batch_stats)
     n_show = min(4, images.shape[0])
     paths = []
+    def corrupt(z_i, z_s, images, labels, k1, k2, settings_i, settings_s):
+        ci = img_dec(perturb_latent_code(
+            z_i, img_dec, images, k1, settings_i, solver.num_classes))
+        cs = seg_dec(perturb_latent_code(
+            z_s, seg_dec, labels, k2, settings_s, solver.num_classes))
+        return ci, cs
+
+    # jit with the static settings as closure-free static args: running the
+    # grad-through-decoder masking eagerly is pathologically slow on
+    # tunneled backends (op-by-op RPC dispatch).
+    corrupt_jit = jax.jit(corrupt, static_argnames=("settings_i", "settings_s"))
+
     for method in methods:
         for thr in thresholds:
             rng, k1, k2 = jax.random.split(rng, 3)
@@ -172,10 +184,8 @@ def visualize_hard_examples(solver, state, images_nhwc, labels_nhw, out_dir: str
             settings_s = MaskSettings(loss_name="ce", mask_type=method,
                                       max_threshold=thr, random_threshold=False,
                                       if_soft=True)
-            corrupted_img = img_dec(perturb_latent_code(
-                z_i, img_dec, images, k1, settings_i, solver.num_classes))
-            corrupted_seg_logits = seg_dec(perturb_latent_code(
-                z_s, seg_dec, labels, k2, settings_s, solver.num_classes))
+            corrupted_img, corrupted_seg_logits = corrupt_jit(
+                z_i, z_s, images, labels, k1, k2, settings_i, settings_s)
             ent = prediction_entropy(corrupted_seg_logits)
             fig, axes = plt.subplots(4, n_show, figsize=(2.4 * n_show, 9),
                                      squeeze=False)
