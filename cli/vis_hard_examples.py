@@ -69,18 +69,16 @@ def main():
 
     ds = SyntheticSegDataset(length=args.n_samples, pad_size=(224, 224),
                              num_classes=args.num_classes, seed=args.seed)
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        collate,
+    )
     from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
         make_batch_eval_transform,
     )
 
-    raw_i, raw_l = [], []
-    for i in range(args.n_samples):
-        s = ds[i]
-        raw_i.append(s["image"])
-        raw_l.append(s["label"])
+    raw = collate(ds, np.arange(args.n_samples))
     transform = make_batch_eval_transform((224, 224), (192, 192))
-    images, labels = transform(np.stack(raw_i).astype(np.float32),
-                               np.stack(raw_l).astype(np.int32))
+    images, labels = transform(raw["image"], raw["label"])
     paths = visualize_hard_examples(
         solver, state, images, labels, args.out_dir,
         thresholds=tuple(args.thresholds), methods=tuple(args.methods),

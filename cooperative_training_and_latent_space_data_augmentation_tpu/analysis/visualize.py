@@ -170,9 +170,10 @@ def visualize_hard_examples(solver, state, images_nhwc, labels_nhw, out_dir: str
             z_s, seg_dec, labels, k2, settings_s, solver.num_classes))
         return ci, cs
 
-    # jit with the static settings as closure-free static args: running the
-    # grad-through-decoder masking eagerly is pathologically slow on
-    # tunneled backends (op-by-op RPC dispatch).
+    # MaskSettings are hashable static args; the frozen decoders (params +
+    # batch stats of the state at entry) are closure constants baked into
+    # the trace.  Eager grad-through-decoder masking is pathologically slow
+    # on tunneled backends (op-by-op RPC dispatch), hence the jit.
     corrupt_jit = jax.jit(corrupt, static_argnames=("settings_i", "settings_s"))
 
     for method in methods:
@@ -199,7 +200,11 @@ def visualize_hard_examples(solver, state, images_nhwc, labels_nhw, out_dir: str
                     axes[r][i].axis("off")
             for r, title in enumerate(["input", "corrupted image",
                                        "corrupted seg", "entropy"]):
-                axes[r][0].set_ylabel(title)
+                # axis('off') suppresses ylabel rendering; draw row titles
+                # as figure-level text instead.
+                pos = axes[r][0].get_position()
+                fig.text(0.02, (pos.y0 + pos.y1) / 2, title, rotation=90,
+                         va="center", ha="center", fontsize=9)
             path = join(out_dir, f"hard_examples_{method}_thr{thr}.png")
             fig.suptitle(f"method={method} threshold={thr}")
             fig.savefig(path, bbox_inches="tight", dpi=80)
