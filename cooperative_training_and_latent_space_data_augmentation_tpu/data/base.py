@@ -175,11 +175,13 @@ def get_all_image_array_from_dataset(dataset) -> "np.ndarray":
 
 def get_mean_image(dataset) -> "np.ndarray":
     """Pixelwise mean image over a dataset (dataset_utils.get_mean_image:86-91)."""
+    if len(dataset) == 0:
+        raise ValueError("get_mean_image: dataset is empty")
     total = None
     for i in range(len(dataset)):
         img = np.asarray(dataset.load_data(i)[0], np.float64)
         total = img if total is None else total + img
-    return (total / max(len(dataset), 1)).astype(np.float32)
+    return (total / len(dataset)).astype(np.float32)
 
 
 class CombinedDataset:

@@ -79,24 +79,41 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up if the consumer abandoned the iterator
+        # (e.g. max_iteration break mid-epoch) — otherwise the producer
+        # thread would park on q.put forever, leaking itself + its batches.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:  # surface errors on the consumer side
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class CooperativeBatcher:

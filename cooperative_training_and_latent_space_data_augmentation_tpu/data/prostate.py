@@ -34,7 +34,10 @@ def get_prostate_split_policy(root_dir: str, identifier: str, cval: int
     labelled = first half of train, few-shot subsets via
     train_test_split(random_state=cval)."""
     assert cval >= 1, "cval must be >= 1"
-    all_ids = sorted(os.listdir(root_dir))
+    # only patient DIRECTORIES: Decathlon roots carry dataset.json etc., and
+    # a stray file in the raw listdir would silently perturb every split.
+    all_ids = sorted(d for d in os.listdir(root_dir)
+                     if os.path.isdir(join(root_dir, d)))
     train_val = [p for p in all_ids if p not in PROSTATE_TEST_IDS]
     train_ids, val_ids = train_test_split(train_val, test_size=0.1,
                                           random_state=cval - 1)

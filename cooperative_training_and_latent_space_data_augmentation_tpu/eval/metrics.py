@@ -351,10 +351,11 @@ def write_eval_scores_to_disk(running_metrics_groups: Dict[str, "RunningSegmenta
         for m in metrics:
             for view in views:
                 rm = running_metrics_groups[view]
-                vals = np.concatenate([
-                    np.asarray(v, np.float64)
-                    for k, v in rm.multi_scores.items() if k.endswith(f"_{m}")
-                ]) if rm.multi_scores else np.asarray([np.nan])
+                arrays = [np.asarray(v, np.float64)
+                          for k, v in rm.multi_scores.items()
+                          if k.endswith(f"_{m}")]
+                # metric not tracked by this RunningSegmentationScore -> nan
+                vals = np.concatenate(arrays) if arrays else np.asarray([np.nan])
                 cells.append(f"{np.nanmean(vals):.3f} ({np.nanstd(vals):.3f}), ")
         f.writelines(cells + ["\n"])
     return txt_path

@@ -84,14 +84,17 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
+        # Norm statistics always in float32 (same mixed-precision policy as
+        # BatchNorm above): if bf16 compute ever reaches the UNet baselines,
+        # the normalization math must not silently follow it down.
         if self.kind == "batch":
             return nn.BatchNorm(
                 use_running_average=use_running_average,
                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                scale_init=bn_scale_init, dtype=x.dtype)(x)
+                scale_init=bn_scale_init, dtype=jnp.float32)(x)
         if self.kind == "instance":
             return nn.InstanceNorm(epsilon=BN_EPS, use_bias=False,
-                                   use_scale=False, dtype=x.dtype)(x)
+                                   use_scale=False, dtype=jnp.float32)(x)
         if self.kind == "none":
             return x
         raise NotImplementedError(f"unknown norm kind {self.kind!r}")

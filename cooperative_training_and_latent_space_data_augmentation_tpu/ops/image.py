@@ -155,12 +155,15 @@ def sharpen_predictions(logits_or_probs, temperature: float = 0.5,
 def filter_unlabelled_predictions(probs, threshold: float = 0.8):
     """Per-pixel confidence maps from max class prob (model_util.py:343-358).
 
-    Returns a 0/1-ish confidence map broadcast over the class axis (NHWC).
+    Returns 1.0 where the max class probability exceeds ``threshold`` and
+    0.0 elsewhere, broadcast over the class axis (NHWC).  The reference's
+    in-place `[foreground_predictions > 0] = 1` line degenerates to all-ones
+    on softmax inputs (every prob > 0); we implement the documented intent
+    — a binary confidence gate — instead of the bug.
     """
     probs = jax.lax.stop_gradient(probs)
     max_prob = jnp.max(probs, axis=-1, keepdims=True)
-    conf = jnp.clip(max_prob - threshold, 0.0, 1.0)
-    conf = jnp.where(probs > 0, 1.0, conf)
+    conf = jnp.where(max_prob > threshold, 1.0, 0.0)
     return jnp.broadcast_to(conf, probs.shape)
 
 

@@ -280,14 +280,20 @@ def hierarchical_loss(multi_preds, target, weights=(1.0, 1.0, 1.0)):
     """3-level hierarchical CE (custom_loss.get_hierachical_loss:183-219).
 
     ``multi_preds``: [binary object logits (C=2), biventricle logits (C=3),
-    final logits (C=4)], NHWC; ``target``: NHW int in {0..3}
-    (0=BG, 1=LV, 2=MYO, 3=RV).
+    final logits (C=4)], NHWC; ``target``: NHW int in {0..3}.
+
+    The level remaps reproduce the reference EXACTLY (get_hierachical_loss
+    :193-205), including its idiosyncrasies under the {0:BG,1:LV,2:MYO,3:RV}
+    map: level 1 keeps only class 1 as "object" (classes >1 -> 0); level 2
+    folds classes <=2 (incl. background) into 1 and class 3 into 2, so class
+    0 is never a level-2 target.  Callers using a different class ordering
+    (as the loss's original experiments did) get the intended hierarchy.
     """
     assert len(multi_preds) == len(weights)
-    # level 1: object vs background (classes >1 -> 0 in the reference's remap)
+    # level 1: binary_object_target[target > 1] = 0 (reference :192-196)
     binary_target = jnp.where(target > 1, 0, target)
     object_loss = cross_entropy_2d(multi_preds[0], binary_target)
-    # level 2: {LV+MYO}=1 vs RV=2
+    # level 2: [target <= 2] = 1, [target > 2] = 2 (reference :199-202)
     biv_target = jnp.where(target <= 2, 1, 2)
     biventricle_loss = cross_entropy_2d(multi_preds[1], biv_target)
     # level 3: full labels with myocardium-emphasizing class weights

@@ -18,7 +18,7 @@ TPU-native equivalents of the reference's optimizer plumbing
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -118,10 +118,6 @@ def make_plateau_scheduler(policy: str) -> ReduceLROnPlateau:
     if policy == "plateau2":
         return ReduceLROnPlateau(factor=0.2, threshold=0.01, patience=5)
     raise NotImplementedError(policy)
-
-
-class AdamBoundClipState(NamedTuple):
-    pass
 
 
 def clip_grad_by_adam_bound(beta2: float = 0.999, eps: float = 0.1,

@@ -274,3 +274,21 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_early_break_releases_producer():
+    import threading
+    import time
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        prefetch,
+    )
+
+    before = threading.active_count()
+    it = prefetch(iter(range(100)), size=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-iteration (max_iteration break)
+    deadline = time.time() + 3.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
