@@ -114,12 +114,13 @@ class SNConv(nn.Module):
     stride: int = 1
     padding: Any = "SAME"
     if_SN: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = nn.Conv(self.features, (self.kernel, self.kernel),
                        strides=(self.stride, self.stride), padding=self.padding,
-                       kernel_init=conv_kernel_init, dtype=x.dtype)
+                       kernel_init=conv_kernel_init, dtype=self.dtype or x.dtype)
         if self.if_SN:
             return nn.SpectralNorm(conv)(x, update_stats=train)
         return conv(x)

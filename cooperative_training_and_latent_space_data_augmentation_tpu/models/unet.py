@@ -37,11 +37,12 @@ class DoubleConv(nn.Module):
     features: int
     norm: str = "batch"
     if_SN: bool = False
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (norms stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(2):
-            x = SNConv(self.features, if_SN=self.if_SN)(x, train)
+            x = SNConv(self.features, if_SN=self.if_SN, dtype=self.dtype)(x, train)
             x = Norm(self.norm)(x, use_running_average=not train)
             x = nn.relu(x)
         return x
@@ -53,6 +54,7 @@ class ConvBNRelu(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -61,7 +63,7 @@ class ConvBNRelu(nn.Module):
             pad = "VALID"
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=pad,
-                    kernel_init=conv_kernel_init, dtype=x.dtype)(x)
+                    kernel_init=conv_kernel_init, dtype=self.dtype or x.dtype)(x)
         x = BatchNorm()(x, use_running_average=not train)
         return nn.relu(x)
 
@@ -77,11 +79,13 @@ class UNet(nn.Module):
     if_SN: bool = False     # spectral norm -> "SN_UNet_16"
     encoder_dropout: Optional[float] = None
     decoder_dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_scale
-        dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN)
+        dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN,
+                                      dtype=self.dtype)
         x1 = dc(64 // f)(x, train)
         x2 = dc(128 // f)(_maxpool2(x1), train)
         x3 = dc(256 // f)(_maxpool2(x2), train)
@@ -97,8 +101,9 @@ class UNet(nn.Module):
         h = up(h, x3, 128 // f)
         h = up(h, x2, 64 // f)
         h = up(h, x1, 64 // f)
+        # logits head in f32 (losses/softmax consume these)
         return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                       dtype=h.dtype)(h)
+                       dtype=jnp.float32)(h.astype(jnp.float32))
 
 
 class UNetv2(nn.Module):
@@ -109,11 +114,13 @@ class UNetv2(nn.Module):
     feature_scale: int = 4
     norm: str = "batch"
     if_SN: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_scale
-        dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN)
+        dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN,
+                                      dtype=self.dtype)
         x1 = dc(64 // f)(x, train)
         x2 = dc(128 // f)(_maxpool2(x1), train)
         x3 = dc(256 // f)(_maxpool2(x2), train)
@@ -130,7 +137,7 @@ class UNetv2(nn.Module):
         h = up(h, x2, 64 // f)
         h = up(h, x1, 64 // f)
         return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                       dtype=h.dtype)(h)
+                       dtype=jnp.float32)(h.astype(jnp.float32))
 
 
 class ResBlock(nn.Module):

@@ -31,18 +31,19 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.models.unet imp
 from cooperative_training_and_latent_space_data_augmentation_tpu.ops import losses as L
 from cooperative_training_and_latent_space_data_augmentation_tpu.train.state import TrainState
 
-# network registry (base_segmentation_model.py:78-138)
-NETWORK_REGISTRY: Dict[str, Callable[[int, int], Any]] = {
-    "UNet_16": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=4),
-    "UNet_32": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=2),
-    "UNet_64": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=1),
-    "UNetv2_16": lambda num_classes, image_ch: UNetv2(num_classes=num_classes, feature_scale=4),
-    "SN_UNet_16": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=4, if_SN=True),
-    "IN_SN_UNet_16": lambda num_classes, image_ch: UNet(num_classes=num_classes, feature_scale=4, norm="instance", if_SN=True),
-    "FCN_16": lambda num_classes, image_ch: FCN(num_classes=num_classes, feature_scale=4),
-    "FCN_64": lambda num_classes, image_ch: FCN(num_classes=num_classes, feature_scale=1),
-    "ResUNet_16": lambda num_classes, image_ch: ResConvUNet(num_classes=num_classes, feature_scale=4),
-    "ResUNet_64": lambda num_classes, image_ch: ResConvUNet(num_classes=num_classes, feature_scale=1),
+# network registry (base_segmentation_model.py:78-138); ``dtype`` is the
+# conv compute dtype (bf16 mixed precision; norms/logits stay f32).
+NETWORK_REGISTRY: Dict[str, Callable[..., Any]] = {
+    "UNet_16": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=4, dtype=dtype),
+    "UNet_32": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=2, dtype=dtype),
+    "UNet_64": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=1, dtype=dtype),
+    "UNetv2_16": lambda num_classes, image_ch, dtype=None: UNetv2(num_classes=num_classes, feature_scale=4, dtype=dtype),
+    "SN_UNet_16": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=4, if_SN=True, dtype=dtype),
+    "IN_SN_UNet_16": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=4, norm="instance", if_SN=True, dtype=dtype),
+    "FCN_16": lambda num_classes, image_ch, dtype=None: FCN(num_classes=num_classes, feature_scale=4),
+    "FCN_64": lambda num_classes, image_ch, dtype=None: FCN(num_classes=num_classes, feature_scale=1),
+    "ResUNet_16": lambda num_classes, image_ch, dtype=None: ResConvUNet(num_classes=num_classes, feature_scale=4),
+    "ResUNet_64": lambda num_classes, image_ch, dtype=None: ResConvUNet(num_classes=num_classes, feature_scale=1),
 }
 
 
@@ -52,7 +53,7 @@ class SegmentationSolver:
     def __init__(self, network_type: str = "UNet_16", image_ch: int = 1,
                  num_classes: int = 4, learning_rate: float = 1e-4,
                  loss_type: str = "cross entropy", use_ema: bool = False,
-                 ema_decay: float = 0.999):
+                 ema_decay: float = 0.999, compute_dtype=None):
         assert network_type in NETWORK_REGISTRY, (
             f"unknown network {network_type}; have {sorted(NETWORK_REGISTRY)}")
         self.network_type = network_type
@@ -61,7 +62,8 @@ class SegmentationSolver:
         self.loss_type = loss_type
         self.use_ema = use_ema
         self.ema_decay = ema_decay
-        self.model = NETWORK_REGISTRY[network_type](num_classes, image_ch)
+        self.model = NETWORK_REGISTRY[network_type](num_classes, image_ch,
+                                                    dtype=compute_dtype)
         self.tx = optax.adam(learning_rate)
 
     def init_state(self, rng: jax.Array, input_hw: Tuple[int, int] = (192, 192)
