@@ -148,16 +148,18 @@ class ResBlock(nn.Module):
     norm: str = "batch"
     if_SN: bool = False
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        shortcut = SNConv(self.features, kernel=1, if_SN=self.if_SN)(x, train)
-        h = SNConv(self.features, if_SN=self.if_SN)(x, train)
+        dt = self.dtype
+        shortcut = SNConv(self.features, kernel=1, if_SN=self.if_SN, dtype=dt)(x, train)
+        h = SNConv(self.features, if_SN=self.if_SN, dtype=dt)(x, train)
         h = Norm(self.norm)(h, use_running_average=not train)
         h = nn.relu(h)
-        h = SNConv(self.features, if_SN=self.if_SN)(h, train)
+        h = SNConv(self.features, if_SN=self.if_SN, dtype=dt)(h, train)
         h = Norm(self.norm)(h, use_running_average=not train)
-        out = nn.relu(shortcut + h)
+        out = nn.relu(shortcut.astype(h.dtype) + h)
         if self.dropout is not None and self.dropout > 0:
             out = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
                              deterministic=not train)(out)
@@ -175,12 +177,14 @@ class ResConvUNet(nn.Module):
     if_SN: bool = False
     encoder_dropout: Optional[float] = None
     decoder_dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_scale
         rb = lambda feats, drop: ResBlock(feats, norm=self.norm,
-                                          if_SN=self.if_SN, dropout=drop)
+                                          if_SN=self.if_SN, dropout=drop,
+                                          dtype=self.dtype)
         enc_drop, dec_drop = self.encoder_dropout, self.decoder_dropout
         x1 = rb(64 // f, enc_drop)(x, train)
         x2 = rb(128 // f, enc_drop)(_maxpool2(x1), train)
@@ -195,8 +199,8 @@ class ResConvUNet(nn.Module):
             # output size comes from padding='SAME' (flax explicit padding
             # counts output-side trimming differently from torch).
             a = nn.ConvTranspose(a.shape[-1], (4, 4), strides=(2, 2),
-                                 padding="SAME",
-                                 kernel_init=conv_kernel_init, dtype=a.dtype)(a)
+                                 padding="SAME", kernel_init=conv_kernel_init,
+                                 dtype=self.dtype or a.dtype)(a)
             a = jnp.concatenate([a, skip], axis=-1)
             return rb(feats, dec_drop)(a, train)
 
@@ -205,7 +209,7 @@ class ResConvUNet(nn.Module):
         h = up(h, x2, 64 // f)
         h = up(h, x1, 64 // f)
         return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                       dtype=h.dtype)(h)
+                       dtype=jnp.float32)(h.astype(jnp.float32))
 
 
 class DeeplySupervisedUNet(nn.Module):
@@ -256,35 +260,37 @@ class FCN(nn.Module):
     num_classes: int = 4
     feature_scale: int = 4
     input_channel: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.feature_scale
         filters = [64 // f, 128 // f, 256 // f, 512 // f, 512 // f]
 
-        h = ConvBNRelu(filters[0])(x, train)
-        l1 = ConvBNRelu(filters[0])(h, train)
+        ConvBNRelu_ = lambda feats, **kw: ConvBNRelu(feats, dtype=self.dtype, **kw)
+        h = ConvBNRelu_(filters[0])(x, train)
+        l1 = ConvBNRelu_(filters[0])(h, train)
 
-        h = ConvBNRelu(filters[1], stride=2)(l1, train)
-        l2 = ConvBNRelu(filters[1])(h, train)
+        h = ConvBNRelu_(filters[1], stride=2)(l1, train)
+        l2 = ConvBNRelu_(filters[1])(h, train)
 
-        h = ConvBNRelu(filters[2], stride=2)(l2, train)
-        h = ConvBNRelu(filters[2])(h, train)
-        l3 = ConvBNRelu(filters[2])(h, train)
+        h = ConvBNRelu_(filters[2], stride=2)(l2, train)
+        h = ConvBNRelu_(filters[2])(h, train)
+        l3 = ConvBNRelu_(filters[2])(h, train)
 
-        h = ConvBNRelu(filters[3], stride=2)(l3, train)
-        h = ConvBNRelu(filters[3])(h, train)
-        l4 = ConvBNRelu(filters[3])(h, train)
+        h = ConvBNRelu_(filters[3], stride=2)(l3, train)
+        h = ConvBNRelu_(filters[3])(h, train)
+        l4 = ConvBNRelu_(filters[3])(h, train)
 
-        h = ConvBNRelu(filters[4], stride=2)(l4, train)
-        h = ConvBNRelu(filters[4])(h, train)
-        l5 = ConvBNRelu(filters[4])(h, train)
+        h = ConvBNRelu_(filters[4], stride=2)(l4, train)
+        h = ConvBNRelu_(filters[4])(h, train)
+        l5 = ConvBNRelu_(filters[4])(h, train)
 
-        o1 = ConvBNRelu(filters[0])(l1, train)
-        o2 = ConvBNRelu(filters[0])(l2, train)
-        o3 = ConvBNRelu(filters[0])(l3, train)
-        o4 = ConvBNRelu(filters[0])(l4, train)
-        o5 = ConvBNRelu(filters[0])(l5, train)
+        o1 = ConvBNRelu_(filters[0])(l1, train)
+        o2 = ConvBNRelu_(filters[0])(l2, train)
+        o3 = ConvBNRelu_(filters[0])(l3, train)
+        o4 = ConvBNRelu_(filters[0])(l4, train)
+        o5 = ConvBNRelu_(filters[0])(l5, train)
 
         def up_to(a, times):
             for _ in range(times):
@@ -293,7 +299,7 @@ class FCN(nn.Module):
 
         feats = jnp.concatenate(
             [o1, up_to(o2, 1), up_to(o3, 2), up_to(o4, 3), up_to(o5, 4)], axis=-1)
-        feats = ConvBNRelu(64, kernel=1)(feats, train)
-        feats = ConvBNRelu(64, kernel=1)(feats, train)
+        feats = ConvBNRelu_(64, kernel=1)(feats, train)
+        feats = ConvBNRelu_(64, kernel=1)(feats, train)
         return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                       dtype=feats.dtype)(feats)
+                       dtype=jnp.float32)(feats.astype(jnp.float32))

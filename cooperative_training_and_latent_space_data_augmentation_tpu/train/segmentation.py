@@ -40,10 +40,10 @@ NETWORK_REGISTRY: Dict[str, Callable[..., Any]] = {
     "UNetv2_16": lambda num_classes, image_ch, dtype=None: UNetv2(num_classes=num_classes, feature_scale=4, dtype=dtype),
     "SN_UNet_16": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=4, if_SN=True, dtype=dtype),
     "IN_SN_UNet_16": lambda num_classes, image_ch, dtype=None: UNet(num_classes=num_classes, feature_scale=4, norm="instance", if_SN=True, dtype=dtype),
-    "FCN_16": lambda num_classes, image_ch, dtype=None: FCN(num_classes=num_classes, feature_scale=4),
-    "FCN_64": lambda num_classes, image_ch, dtype=None: FCN(num_classes=num_classes, feature_scale=1),
-    "ResUNet_16": lambda num_classes, image_ch, dtype=None: ResConvUNet(num_classes=num_classes, feature_scale=4),
-    "ResUNet_64": lambda num_classes, image_ch, dtype=None: ResConvUNet(num_classes=num_classes, feature_scale=1),
+    "FCN_16": lambda num_classes, image_ch, dtype=None: FCN(num_classes=num_classes, feature_scale=4, dtype=dtype),
+    "FCN_64": lambda num_classes, image_ch, dtype=None: FCN(num_classes=num_classes, feature_scale=1, dtype=dtype),
+    "ResUNet_16": lambda num_classes, image_ch, dtype=None: ResConvUNet(num_classes=num_classes, feature_scale=4, dtype=dtype),
+    "ResUNet_64": lambda num_classes, image_ch, dtype=None: ResConvUNet(num_classes=num_classes, feature_scale=1, dtype=dtype),
 }
 
 
