@@ -172,3 +172,43 @@ def test_no_gradient_leak_through_perturbation():
 
     g = jax.grad(fn)(jnp.ones((1, 4, 4, 8)))
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_channel_mask_cross_checked_against_torch_autograd():
+    """End-to-end parity with the reference algorithm executed in torch:
+    same linear decoder, same mse loss, same percentile indexing
+    (model_util.mask_latent_code_channel_wise:180-255)."""
+    import torch
+
+    rng = np.random.RandomState(7)
+    n, h, w, c = 2, 3, 3, 8
+    code_np = rng.randn(n, h, w, c).astype(np.float32)
+    weight_np = rng.randn(c, 2).astype(np.float32)  # latent ch -> 2 outputs
+    target_np = rng.randn(n, h, w, 2).astype(np.float32)
+    percentile = 0.4
+
+    # --- torch reference math (NCHW mental model not needed: mean grads
+    # per channel over N are layout-independent)
+    code_t = torch.tensor(code_np, requires_grad=True)
+    out_t = torch.tensordot(code_t, torch.tensor(weight_np), dims=([3], [0]))
+    loss_t = torch.mean((out_t - torch.tensor(target_np)) ** 2)
+    (grad_t,) = torch.autograd.grad(loss_t, code_t)
+    saliency_t = grad_t.reshape(n, h * w, c).mean(dim=1)  # N, C
+    idx = int(c * percentile)
+    sorted_desc, _ = torch.sort(saliency_t, dim=1, descending=True)
+    thresh = sorted_desc[:, idx].unsqueeze(1)
+    expected_mask = (saliency_t <= thresh).float().numpy()  # 1 keep, 0 drop
+
+    # --- ours
+    def decoder_fn(z):
+        return jnp.tensordot(z, jnp.asarray(weight_np), axes=([3], [0]))
+
+    masked, mask = masking.mask_latent_code_channel_wise(
+        jnp.asarray(code_np), decoder_fn, jnp.asarray(target_np),
+        jax.random.PRNGKey(0), percentile=percentile, random=False,
+        loss_name="mse", if_soft=False)
+    np.testing.assert_array_equal(
+        np.asarray(mask).reshape(n, c), expected_mask)
+    np.testing.assert_allclose(
+        np.asarray(masked), code_np * expected_mask[:, None, None, :],
+        rtol=1e-6)
