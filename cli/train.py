@@ -65,6 +65,9 @@ def parse_args():
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 conv compute on the MXU (params/norms/losses f32)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize submodule forwards in the backward "
+                        "(less activation memory; often faster on TPU)")
     p.add_argument("--n_devices", type=int, default=None,
                    help="shard the batch over a data-parallel mesh")
     return p.parse_args()
@@ -111,7 +114,8 @@ def main():
         encoder_dropout=cfg.segmentation_model.encoder_dropout,
         decoder_dropout=cfg.segmentation_model.decoder_dropout,
         input_hw=cfg.data.crop_hw,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        remat=args.remat)
     mesh = None
     if args.n_devices:
         from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (

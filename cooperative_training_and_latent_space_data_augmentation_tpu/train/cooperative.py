@@ -103,10 +103,15 @@ class CooperativeTripletSolver:
         input_hw: Tuple[int, int] = (192, 192),
         temperature: float = 2.0,
         compute_dtype: Optional[Any] = None,
+        remat: bool = False,
     ):
         """``compute_dtype``: conv compute dtype; ``jnp.bfloat16`` runs the
         conv stacks on the MXU in bf16 (params, norms, latents, logits, and
-        losses stay float32) — the TPU mixed-precision speed path."""
+        losses stay float32) — the TPU mixed-precision speed path.
+
+        ``remat``: rematerialize each submodule forward in the backward pass
+        (jax.checkpoint) — trades ~30% more FLOPs for a large cut in
+        activation memory, for big-batch / high-res training."""
         assert network_type in NETWORK_TYPES, f"unknown network_type {network_type}"
         assert "16" in network_type  # '16' => reduce_factor 4 (advanced...py:87-90)
         self.network_type = network_type
@@ -117,6 +122,7 @@ class CooperativeTripletSolver:
         self.input_hw = input_hw
         self.temperature = temperature
         self.compute_dtype = compute_dtype
+        self.remat = remat
         f = 4
         self.feature_reduce = f
         self.latent_ch = 512 // f  # 128
@@ -177,8 +183,13 @@ class CooperativeTripletSolver:
         module = self.modules[name]
         variables = {"params": params[name], "batch_stats": stats[name]}
         if train:
-            out, ups = module.apply(variables, x, train=True,
+            def fwd(variables, x):
+                return module.apply(variables, x, train=True,
                                     mutable=["batch_stats"], method=method)
+
+            if self.remat:
+                fwd = jax.checkpoint(fwd)
+            out, ups = fwd(variables, x)
             if update:
                 new = dict(stats)
                 new[name] = ups["batch_stats"]
