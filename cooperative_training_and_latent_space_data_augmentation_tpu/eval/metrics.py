@@ -38,7 +38,8 @@ def confusion_matrix_update(confusion, label_true, label_pred):
     return confusion + counts.reshape(n_class, n_class).astype(confusion.dtype)
 
 
-def scores_from_confusion(hist: np.ndarray) -> Dict[str, float]:
+def scores_from_confusion(hist: np.ndarray
+                          ) -> "tuple[Dict[str, float], Dict[int, float]]":
     """IoU/acc summary with the reference's exact dict keys
     (metrics.py:30-52)."""
     hist = np.asarray(hist, np.float64)
@@ -74,7 +75,9 @@ class RunningScore:
         return scores_from_confusion(np.asarray(self.confusion_matrix))
 
     def reset(self):
-        self.confusion_matrix = jnp.zeros((self.n_classes, self.n_classes), jnp.float64)
+        # int32: exact counting (float32 accumulation loses increments past
+        # 2^24 on large validation sets; x64 is disabled by default in jax)
+        self.confusion_matrix = jnp.zeros((self.n_classes, self.n_classes), jnp.int32)
 
 
 # alias with the reference's class name
@@ -273,10 +276,23 @@ class RunningSegmentationScore:
                     # (metrics.py:226-236)
                     score = hd_2D_stack(pr_c, gt_c, pixelspacing=voxel_spacing[:2],
                                         connectivity=2)
+                    if score < 0:
+                        # the -1 'no valid slice' sentinel (parity with
+                        # measure.hd_2D_stack:397-398) must not drag the
+                        # nanmean summary negative -> exclude as nan
+                        score = np.nan
                 elif metric == "ASD":
                     assert voxel_spacing is not None
+                    # arrays are (slices, h, w) but spacing is ITK-ordered
+                    # (sx, sy, sz): reorder so each array axis gets its own
+                    # spacing (the reference passes the tuple through
+                    # unreordered, metrics.py:236-238 — a latent bug we fix;
+                    # sz<=0 means 'unknown thickness' -> 1.0).
+                    sx, sy = voxel_spacing[0], voxel_spacing[1]
+                    sz = voxel_spacing[2] if len(voxel_spacing) > 2 else -1.0
+                    ordered = (sz if sz > 0 else 1.0, sy, sx)
                     try:
-                        score = asd(pr_c, gt_c, voxelspacing=voxel_spacing,
+                        score = asd(pr_c, gt_c, voxelspacing=ordered,
                                     connectivity=2)
                     except RuntimeError:
                         score = np.nan

@@ -183,9 +183,10 @@ def percentile_normalize(x, perc: Tuple[float, float] = (0.0, 100.0),
     lo = jnp.percentile(x, perc[0])
     hi = jnp.percentile(x, perc[1])
     x = jnp.clip(x, lo, hi)
+    # low-anchored affine ((x-lo)/(hi-lo+eps) form): a constant/blank slice
+    # maps to min_val, matching the reference's normalization behavior.
     a = (max_val - min_val) / (hi - lo + eps)
-    b = max_val - a * hi
-    return x * a + b
+    return (x - lo) * a + min_val
 
 
 def fft_gaussian_blur(x, sigma):
@@ -245,7 +246,7 @@ def warp_label(label_hw, ys, xs, num_classes: int):
 def _affine_inverse_matrix(key, policy: AugmentPolicy, h: int, w: int):
     """Random inverse affine (rotation+group-rotation, shear, zoom, shift)
     about the image center (ts.RandomAffine + MyRandomChoiceRotate)."""
-    k_rot, k_shift, k_shear, k_zoom, k_group, k_apply = jax.random.split(key, 6)
+    k_rot, k_shift, k_shear, k_zoom, k_group = jax.random.split(key, 5)
     deg = jax.random.uniform(k_rot, (), minval=-policy.rotate_val,
                              maxval=policy.rotate_val)
     if policy.rotate_groups:
@@ -319,12 +320,15 @@ def bias_field_v1(key, img_hwc, policy: AugmentPolicy):
     """Multi-scale Gaussian-smoothed multiplicative bias
     (MyRandomPurtarbation, intensity_transform.py:272-370)."""
     h, w, c = img_hwc.shape
-    keys = jax.random.split(key, len(policy.multi_control_points) + 2)
+    keys = jax.random.split(key, len(policy.multi_control_points) + 1)
     total = jnp.zeros((h, w))
     for i, cp in enumerate(sorted(policy.multi_control_points)):
         field = jax.random.uniform(keys[i], (cp, cp))
         sigma = min(cp * 2.0, policy.max_sigma)
-        field = fft_gaussian_blur(field, jnp.asarray(sigma * cp / max(h, 1) * h / cp))
+        # blur the (cp, cp) control grid with the full-resolution sigma
+        # converted to grid units (sigma * cp / h); using the full-res sigma
+        # directly would erase all variation from the tiny grid.
+        field = fft_gaussian_blur(field, jnp.asarray(sigma * cp / max(h, 1)))
         interp = jax.image.resize(field, (h, w), "bicubic")
         interp = interp / (interp.sum() * cp + 1e-12)
         total = total + interp

@@ -123,6 +123,7 @@ class CooperativeTripletSolver:
         self.temperature = temperature
         self.compute_dtype = compute_dtype
         self.remat = remat
+        self.has_dropout = bool(encoder_dropout) or bool(decoder_dropout)
         f = 4
         self.feature_reduce = f
         self.latent_ch = 512 // f  # 128
@@ -146,6 +147,7 @@ class CooperativeTripletSolver:
                 dropout=decoder_dropout, dtype=dt),
         }
         self.tx = optax.adam(learning_rate)
+        self._predict_cache: Dict[Tuple[Optional[int], bool], Callable] = {}
 
     # ------------------------------------------------------------- state
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -173,19 +175,26 @@ class CooperativeTripletSolver:
 
     # ------------------------------------------------------------ module runs
     def _run(self, name, params, stats, x, train: bool, update: bool,
-             method=None):
+             method=None, rngs=None):
         """Apply one submodule functionally; returns (out, new_stats_dict).
 
         ``train``  -> BN normalizes with batch stats (else running stats).
         ``update`` -> merge emitted running-stat updates into the state
                       (torch track_running_stats).
+        ``rngs``   -> flax RNGs (a {'dropout': key} dict when the solver was
+                      built with encoder/decoder dropout; keys are folded
+                      per-submodule so modules draw independent masks).
         """
         module = self.modules[name]
         variables = {"params": params[name], "batch_stats": stats[name]}
+        if rngs is not None:
+            rngs = {k: jax.random.fold_in(v, hash(name) % (2 ** 31))
+                    for k, v in rngs.items()}
         if train:
             def fwd(variables, x):
                 return module.apply(variables, x, train=True,
-                                    mutable=["batch_stats"], method=method)
+                                    mutable=["batch_stats"], method=method,
+                                    rngs=rngs)
 
             if self.remat:
                 fwd = jax.checkpoint(fwd)
@@ -199,20 +208,23 @@ class CooperativeTripletSolver:
         return out, stats
 
     # ----------------------------------------------------- reference surface
-    def encode_image(self, params, stats, x, train=False, update=False):
+    def encode_image(self, params, stats, x, train=False, update=False, rngs=None):
         """(z_i, z_s) with network-variant code sharing (advanced...py:191-206)."""
-        (z_i, z_s), stats = self._run("image_encoder", params, stats, x, train, update)
+        (z_i, z_s), stats = self._run("image_encoder", params, stats, x, train, update,
+                                      rngs=rngs)
         if "share_code" in self.network_type:
             z_i = z_s
         elif "w_o_filter" in self.network_type:
             z_s = z_i
         return (z_i, z_s), stats
 
-    def decode_image(self, params, stats, z_i, train=False, update=False):
-        return self._run("image_decoder", params, stats, z_i, train, update)
+    def decode_image(self, params, stats, z_i, train=False, update=False, rngs=None):
+        return self._run("image_decoder", params, stats, z_i, train, update, rngs=rngs)
 
-    def decode_segmentation(self, params, stats, z_s, train=False, update=False):
-        return self._run("segmentation_decoder", params, stats, z_s, train, update)
+    def decode_segmentation(self, params, stats, z_s, train=False, update=False,
+                            rngs=None):
+        return self._run("segmentation_decoder", params, stats, z_s, train, update,
+                         rngs=rngs)
 
     def decode_segmentation_from_image_code(self, params, stats, z_i,
                                             train=False, update=False):
@@ -222,56 +234,63 @@ class CooperativeTripletSolver:
         return self.decode_segmentation(params, stats, z_s, train, update)
 
     def encode_shape(self, params, stats, segmentation, is_label_map=False,
-                     train=False, update=False, rng=None, smooth_label=False):
+                     train=False, update=False, rng=None, smooth_label=False,
+                     rngs=None):
         """STN encoder on temperature-softmaxed logits / one-hot labels
         (advanced...py:233-246; construct_input basic_operations.py:110-158)."""
         prediction_map = construct_input(
             segmentation, num_classes=self.num_classes,
             apply_softmax=not is_label_map, is_labelmap=is_label_map,
             temperature=self.temperature, smooth_label=smooth_label, rng=rng)
-        return self._run("shape_encoder", params, stats, prediction_map, train, update)
+        return self._run("shape_encoder", params, stats, prediction_map, train, update,
+                         rngs=rngs)
 
-    def decode_shape(self, params, stats, z, train=False, update=False):
-        return self._run("shape_decoder", params, stats, z, train, update)
+    def decode_shape(self, params, stats, z, train=False, update=False, rngs=None):
+        return self._run("shape_decoder", params, stats, z, train, update, rngs=rngs)
 
     def recon_shape(self, params, stats, segmentation, is_label_map=False,
-                    train=False, update=False):
+                    train=False, update=False, rngs=None):
         """STN refinement S' -> STN(S') (advanced...py:262-269)."""
         z, stats = self.encode_shape(params, stats, segmentation, is_label_map,
-                                     train, update)
-        return self.decode_shape(params, stats, z, train, update)
+                                     train, update, rngs=rngs)
+        return self.decode_shape(params, stats, z, train, update, rngs=rngs)
 
-    def fast_predict(self, params, stats, x, train=False, update=False):
+    def fast_predict(self, params, stats, x, train=False, update=False, rngs=None):
         """((z_i, z_s), y0) (advanced...py:561-601)."""
-        (z_i, z_s), stats = self.encode_image(params, stats, x, train, update)
-        y0, stats = self.decode_segmentation(params, stats, z_s, train, update)
+        (z_i, z_s), stats = self.encode_image(params, stats, x, train, update,
+                                              rngs=rngs)
+        y0, stats = self.decode_segmentation(params, stats, z_s, train, update,
+                                             rngs=rngs)
         return (z_i, z_s), y0, stats
 
     # --------------------------------------------------------- training math
     def standard_training(self, params, stats, clean_image, label, perturbed_image,
                           separate_training=False, compute_gt_recon=True,
-                          update_stats=True):
+                          update_stats=True, rngs=None):
         """The 4 standard losses (advanced...py:414-467).  Returns
         (losses_dict, (z_i, z_s), new_stats)."""
         train = True
         (z_i, z_s), y0, stats = self.fast_predict(
-            params, stats, perturbed_image, train=train, update=update_stats)
+            params, stats, perturbed_image, train=train, update=update_stats,
+            rngs=rngs)
         seg_loss = L.cross_entropy_2d(y0, label)
 
-        image_recon, stats = self.decode_image(params, stats, z_i, train, update_stats)
+        image_recon, stats = self.decode_image(params, stats, z_i, train,
+                                               update_stats, rngs=rngs)
         image_recon_loss = 0.5 * jnp.mean((image_recon - clean_image) ** 2)
 
         if compute_gt_recon:
             gt_recon, stats = self.recon_shape(
                 params, stats, label, is_label_map=True, train=train,
-                update=update_stats)
+                update=update_stats, rngs=rngs)
             gt_shape_recon_loss = L.cross_entropy_2d(gt_recon, label)
         else:
             gt_shape_recon_loss = jnp.zeros(())
 
         y0_in = jax.lax.stop_gradient(y0) if separate_training else y0
         p_recon, stats = self.recon_shape(params, stats, y0_in, is_label_map=False,
-                                          train=train, update=update_stats)
+                                          train=train, update=update_stats,
+                                          rngs=rngs)
         pred_shape_recon_loss = L.cross_entropy_2d(p_recon, label)
         out = {
             "seg": seg_loss,
@@ -281,35 +300,41 @@ class CooperativeTripletSolver:
         }
         return out, (z_i, z_s), stats
 
-    def _frozen_decoder_fn(self, name: str, params, stats) -> Callable:
+    def _frozen_decoder_fn(self, name: str, params, stats, rngs=None) -> Callable:
         """Decoder closure for masking: stop-gradiented params (set_grad False,
-        advanced...py:486-487), batch-stat normalization, no stat updates."""
+        advanced...py:486-487), batch-stat normalization, no stat updates.
+        ``rngs``: {'dropout': key} when the decoders carry dropout (torch
+        keeps dropout active during generation's train-mode forwards)."""
         frozen = jax.lax.stop_gradient(params[name])
         frozen_stats = stats[name]
+        if rngs is not None:
+            rngs = {k: jax.random.fold_in(v, hash(name) % (2 ** 31))
+                    for k, v in rngs.items()}
 
         def fn(z):
             out, _ = self.modules[name].apply(
                 {"params": frozen, "batch_stats": frozen_stats}, z,
-                train=True, mutable=["batch_stats"])
+                train=True, mutable=["batch_stats"], rngs=rngs)
             return out
 
         return fn
 
     def hard_example_generation(self, params, stats, z_i, z_s, clean_image, label,
-                                rng, latent_da: LatentDAConfig):
+                                rng, latent_da: LatentDAConfig, rngs=None):
         """Perturb cached latents -> (perturbed_image, perturbed_seg)
         (advanced...py:469-523).  Outputs are stop-gradiented constants."""
         k_img, k_seg = jax.random.split(rng)
         perturbed_image = None
         perturbed_seg = None
         if latent_da.gen_corrupted_image:
-            dec = self._frozen_decoder_fn("image_decoder", params, stats)
+            dec = self._frozen_decoder_fn("image_decoder", params, stats, rngs=rngs)
             masked_zi = masking.perturb_latent_code(
                 jax.lax.stop_gradient(z_i), dec, clean_image, k_img,
                 _mask_settings(latent_da.image_code), num_classes=self.num_classes)
             perturbed_image = jax.lax.stop_gradient(dec(masked_zi))
         if latent_da.gen_corrupted_seg:
-            dec = self._frozen_decoder_fn("segmentation_decoder", params, stats)
+            dec = self._frozen_decoder_fn("segmentation_decoder", params, stats,
+                                          rngs=rngs)
             masked_zs = masking.perturb_latent_code(
                 jax.lax.stop_gradient(z_s), dec, label, k_seg,
                 _mask_settings(latent_da.shape_code), num_classes=self.num_classes)
@@ -317,7 +342,8 @@ class CooperativeTripletSolver:
         return perturbed_image, perturbed_seg
 
     def hard_example_training(self, params, stats, perturbed_image, clean_image,
-                              perturbed_seg, label, separate_training=False):
+                              perturbed_seg, label, separate_training=False,
+                              rngs=None):
         """The 4 hard losses (advanced...py:525-559); BN stats frozen."""
         zero = jnp.zeros(())
         out = {"seg": zero, "image": zero, "shape": zero, "perturbed_shape": zero}
@@ -326,12 +352,12 @@ class CooperativeTripletSolver:
                 params, stats, clean_image, label,
                 perturbed_image=jax.lax.stop_gradient(perturbed_image),
                 separate_training=separate_training, compute_gt_recon=False,
-                update_stats=False)
+                update_stats=False, rngs=rngs)
             out["seg"], out["image"], out["shape"] = std["seg"], std["image"], std["shape"]
         if perturbed_seg is not None:
             seg_in = jax.lax.stop_gradient(perturbed_seg)
             p_recon, _ = self.recon_shape(params, stats, seg_in, is_label_map=False,
-                                          train=True, update=False)
+                                          train=True, update=False, rngs=rngs)
             out["perturbed_shape"] = L.cross_entropy_2d(p_recon, label)
         return out
 
@@ -354,7 +380,8 @@ class CooperativeTripletSolver:
         def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
             clean_image = batch["image"]
             label = batch["label"]
-            k_noise, k_da = jax.random.split(rng)
+            k_noise, k_da, k_drop = jax.random.split(rng, 3)
+            rngs = {"dropout": k_drop} if self.has_dropout else None
             noise = input_noise_std * jax.random.normal(
                 k_noise, clean_image.shape, clean_image.dtype)
             noised_image = jnp.clip(clean_image + noise, 0.0, 1.0)
@@ -363,7 +390,7 @@ class CooperativeTripletSolver:
                 std, (z_i, z_s), stats = self.standard_training(
                     params, state.batch_stats, clean_image, label, noised_image,
                     separate_training=separate_training, compute_gt_recon=True,
-                    update_stats=True)
+                    update_stats=True, rngs=rngs)
                 standard_loss = std["seg"] + std["image"] + std["shape"] + std["gt_shape"]
 
                 metrics = {
@@ -376,10 +403,11 @@ class CooperativeTripletSolver:
                 if use_latent_da:
                     perturbed_image, perturbed_seg = self.hard_example_generation(
                         params, stats, z_i, z_s,
-                        jax.lax.stop_gradient(clean_image), label, k_da, latent_da)
+                        jax.lax.stop_gradient(clean_image), label, k_da, latent_da,
+                        rngs=rngs)
                     hard = self.hard_example_training(
                         params, stats, perturbed_image, clean_image, perturbed_seg,
-                        label, separate_training=separate_training)
+                        label, separate_training=separate_training, rngs=rngs)
                     hard_loss = (hard["seg"] + hard["image"] + hard["shape"]
                                  + hard["perturbed_shape"])
                     metrics.update({
@@ -463,8 +491,12 @@ class CooperativeTripletSolver:
                  n_iter: Optional[int] = None):
         """Predict + update a RunningScore; returns (pred_labels, cached)
         where cached = (images, preds, gts) for PNG dumps
-        (advanced...py:643-664)."""
-        pred = self.predict(params, stats, x, n_iter=n_iter)
+        (advanced...py:643-664).  Uses a cached JITTED predict — eager
+        per-op dispatch is pathological on tunneled TPU backends."""
+        key = (n_iter, False)
+        if key not in self._predict_cache:
+            self._predict_cache[key] = self.make_predict(n_iter=n_iter)
+        pred = self._predict_cache[key](params, stats, x)
         pred_lbl = jnp.argmax(pred, axis=-1)
         targets_np = np.asarray(targets)
         pred_np = np.asarray(pred_lbl)

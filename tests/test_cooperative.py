@@ -191,3 +191,30 @@ def test_checkpoint_roundtrip(solver, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(restored2.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dropout_enabled_training_works(rng):
+    """encoder/decoder dropout must be usable: the train step threads a
+    'dropout' PRNG to every submodule (flax requires it when
+    deterministic=False)."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+        CooperativeTripletSolver,
+    )
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+        LatentDAConfig,
+    )
+
+    solver = CooperativeTripletSolver(input_hw=(32, 32), encoder_dropout=0.2,
+                                      decoder_dropout=0.2)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    # latent_DA on: the frozen-decoder generation path needs the rng too
+    step = solver.make_train_step(latent_da=LatentDAConfig(), donate=False)
+    batch = {"image": jnp.ones((2, 32, 32, 1)) * 0.5,
+             "label": jnp.zeros((2, 32, 32), jnp.int32)}
+    state, m = step(state, batch, rng)
+    assert np.isfinite(float(m["loss/total"]))
+    # different step keys draw different dropout masks -> different losses
+    _, m2 = step(state, batch, jax.random.PRNGKey(123))
+    _, m3 = step(state, batch, jax.random.PRNGKey(456))
+    assert float(m2["loss/total"]) != float(m3["loss/total"])
