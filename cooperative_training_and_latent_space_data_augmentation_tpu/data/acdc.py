@@ -53,7 +53,8 @@ class CardiacACDCDataset(SegDatasetBase):
                  pad_size: Tuple[int, int] = (224, 224), num_classes: int = 4,
                  myocardium_only: bool = False, right_ventricle_only: bool = False,
                  if_resample: bool = True, new_spacing=DEFAULT_SPACING,
-                 normalize: bool = True, use_cache: bool = True, seed: int = 0):
+                 normalize: bool = True, use_cache: bool = True, seed: int = 0,
+                 scan: bool = True):
         idx2cls = label_remap_dict(num_classes, myocardium_only, right_ventricle_only)
         if myocardium_only or right_ventricle_only:
             num_classes = 2
@@ -75,7 +76,8 @@ class CardiacACDCDataset(SegDatasetBase):
                             if os.path.exists(self._img_path(pid))]
         self._volume_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self.index_map: List[Tuple[str, int]] = []
-        self.scan_dataset()
+        if scan:  # subclasses that replace patient_ids pass scan=False
+            self.scan_dataset()
 
     # ---------------------------------------------------------------- paths
     def _img_path(self, pid: str) -> str:

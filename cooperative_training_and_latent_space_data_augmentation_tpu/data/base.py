@@ -168,8 +168,11 @@ class ConcatDataset(SegDatasetBase):
 
 def get_all_image_array_from_dataset(dataset) -> "np.ndarray":
     """Stack every slice image in a dataset
-    (dataset_utils.get_all_image_array_from_datastet:72-84)."""
-    arrays = [np.asarray(dataset.load_data(i)[0]) for i in range(len(dataset))]
+    (dataset_utils.get_all_image_array_from_datastet:72-84).
+
+    Goes through ``dataset[i]`` (padded, uniform shape) — ``load_data`` is
+    raw/per-dataset and ConcatDataset doesn't define it."""
+    arrays = [np.asarray(dataset[i]["image"]) for i in range(len(dataset))]
     return np.stack(arrays)
 
 
@@ -179,7 +182,7 @@ def get_mean_image(dataset) -> "np.ndarray":
         raise ValueError("get_mean_image: dataset is empty")
     total = None
     for i in range(len(dataset)):
-        img = np.asarray(dataset.load_data(i)[0], np.float64)
+        img = np.asarray(dataset[i]["image"], np.float64)
         total = img if total is None else total + img
     return (total / len(dataset)).astype(np.float32)
 

@@ -30,14 +30,24 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment imp
 
 
 class BatchSampler:
-    """Shuffled epoch iterator over dataset indices (seeded, reproducible)."""
+    """Shuffled epoch iterator over dataset indices (seeded, reproducible).
+
+    ``wrap=True`` keeps every batch at ``batch_size`` by tiling from the
+    start of the permutation (fixed shapes for the hot jitted train step;
+    within-epoch duplicates are acceptable for TRAINING only).
+    ``wrap=False`` yields the ragged tail batch — required for EVALUATION,
+    where wrap-padding would double-count samples in the metrics and skew
+    model selection.
+    """
 
     def __init__(self, n: int, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = False, seed: Optional[int] = None):
+                 drop_last: bool = False, seed: Optional[int] = None,
+                 wrap: bool = True):
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.wrap = wrap
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -52,9 +62,9 @@ class BatchSampler:
             batch = order[i:i + self.batch_size]
             if self.drop_last and len(batch) < self.batch_size:
                 break
-            # fixed shapes for jit: wrap around instead of ragged last batch
-            if len(batch) < self.batch_size:
-                extra = order[: self.batch_size - len(batch)]
+            if self.wrap and len(batch) < self.batch_size:
+                # tile (np.resize) so shortfalls larger than n still fill
+                extra = np.resize(order, self.batch_size - len(batch))
                 batch = np.concatenate([batch, extra])
             yield batch
 
@@ -181,7 +191,10 @@ class EvalBatcher:
     def __init__(self, dataset: SegDatasetBase, batch_size: int,
                  pad_hw=(224, 224), crop_hw=(192, 192), sharding=None):
         self.dataset = dataset
-        self.sampler = BatchSampler(len(dataset), batch_size, shuffle=False)
+        # no wrap: a duplicated tail batch would double-count samples in
+        # the validation metrics (the ragged tail costs one extra compile)
+        self.sampler = BatchSampler(len(dataset), batch_size, shuffle=False,
+                                    wrap=False)
         self.eval_transform = make_batch_eval_transform(pad_hw, crop_hw)
         self.sharding = sharding
 

@@ -31,7 +31,9 @@ class CardiacMMDataset(CardiacACDCDataset):
                  if_resample: bool = True, new_spacing=DEFAULT_SPACING,
                  normalize: bool = True, use_cache: bool = True, seed: int = 0,
                  dataset_name: str = "MM"):
-        # bypass the split-policy constructor: enumerate all patient dirs
+        # bypass the split-policy constructor: enumerate all patient dirs;
+        # scan=False skips the ACDC-policy scan whose results we'd discard
+        # (it would gzip-read every overlapping volume a second time).
         self._all_ids = self._scan_ids(root_dir, image_format_name, frame)
         super().__init__(
             root_dir=root_dir, frame=frame, split="test", data_setting="standard",
@@ -40,7 +42,7 @@ class CardiacMMDataset(CardiacACDCDataset):
             num_classes=num_classes, myocardium_only=myocardium_only,
             right_ventricle_only=right_ventricle_only, if_resample=if_resample,
             new_spacing=new_spacing, normalize=normalize, use_cache=use_cache,
-            seed=seed)
+            seed=seed, scan=False)
         self.dataset_name = dataset_name
         self.patient_ids = self._all_ids
         self.scan_dataset()

@@ -57,7 +57,7 @@ def get_prostate_split_policy(root_dir: str, identifier: str, cval: int
         if 0 < value < 1:
             chosen, _ = train_test_split(labelled, train_size=value,
                                          random_state=cval)
-        elif value > 1:
+        elif value >= 1:
             n = int(value)
             if 0 < n < len(labelled):
                 chosen, _ = train_test_split(labelled, train_size=n,

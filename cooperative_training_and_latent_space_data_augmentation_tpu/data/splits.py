@@ -160,6 +160,9 @@ def get_UKBB_split_policy(identifier: str, cval: int) -> Dict[str, List[str]]:
                "full": len(rand_index_list)}
     if identifier not in n_by_id:
         raise NotImplementedError(identifier)
+    # NOTE: formats permutation INDICES (0..149) as patient ids — exactly
+    # what the reference does (cv_settings.py:188-199: '{:03d}'.format(id)
+    # for id in rand_index_list), reproduced verbatim for split parity.
     labelled = [f"{i:03d}" for i in rand_index_list[: n_by_id[identifier]]]
     return {
         "name": f"{identifier}_cv_{cval}",

@@ -101,7 +101,7 @@ class TestSegmentationNetwork:
 
                 os.makedirs(join(self.save_path, "pred"), exist_ok=True)
                 write_nrrd(join(self.save_path, "pred", f"{pid}_pred.nrrd"),
-                           pred.astype(np.int16))
+                           pred.astype(np.int16), spacing=spacing)
                 if self.save_soft_prediction:
                     os.makedirs(join(self.save_path, "soft"), exist_ok=True)
                     np.save(join(self.save_path, "soft", f"{pid}_soft.npy"),

@@ -62,7 +62,7 @@ def experiment_dirs(save_dir: str, dataset_name: str, data_setting: str,
 
 
 def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatcher,
-               predict_fn=None, n_iter: int = 2) -> Tuple[float, float]:
+               predict_fn=None, n_iter: int = 2) -> Tuple[float, float, Optional[tuple]]:
     """Validation with STN refinement; model selection on Mean IoU
     (train...py:63-78)."""
     running = RunningScore(solver.num_classes)
@@ -110,13 +110,28 @@ def train_network(experiment_name: str,
 
     predict_fn = solver.make_predict(n_iter=2)
 
+    batch_sharding_spec = None
+    if mesh is not None:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+            batch_sharding,
+        )
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        assert learning.batch_size % n_dev == 0, (
+            f"batch_size {learning.batch_size} must divide over the "
+            f"{n_dev}-device mesh")
+        batch_sharding_spec = batch_sharding(mesh)
     batcher = CooperativeBatcher(
         train_set, batch_size=learning.batch_size,
         policy_name=data_cfg.data_aug_policy,
         pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw,
         num_classes=solver.num_classes,
         keep_orig=data_cfg.keep_orig_image_label_pair_for_training,
-        seed=seed)
+        seed=seed, sharding=batch_sharding_spec)
+    if len(batcher) == 0:
+        raise ValueError(
+            "training set is empty (0 batches) — check the data root/split; "
+            "refusing to silently 'train' nothing")
     eval_batcher = EvalBatcher(validate_set, batch_size=learning.batch_size,
                                pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw)
 

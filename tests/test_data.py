@@ -292,3 +292,21 @@ def test_prefetch_early_break_releases_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_eval_batcher_no_duplication():
+    """EvalBatcher must not wrap-pad: duplicated samples would be counted
+    twice by the validation metrics and skew model selection."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        BatchSampler,
+        EvalBatcher,
+    )
+
+    s = BatchSampler(25, 20, shuffle=False, wrap=False)
+    batches = list(s.epoch())
+    assert [len(b) for b in batches] == [20, 5]
+    assert sorted(np.concatenate(batches)) == list(range(25))
+    # wrap=True tiles even when the shortfall exceeds n
+    s2 = BatchSampler(3, 8, shuffle=False, wrap=True)
+    (b,) = list(s2.epoch())
+    assert len(b) == 8
