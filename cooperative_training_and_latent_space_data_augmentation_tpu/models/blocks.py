@@ -205,9 +205,30 @@ def upsample_nearest(x, factor: int = 2):
 
 
 def upsample_bilinear(x, factor: int = 2):
+    """align_corners=True bilinear upsample (torch nn.UpsamplingBilinear2d).
+
+    jax.image.resize uses half-pixel centers (align_corners=False), so the
+    corner-aligned sampling grid is built explicitly: out coord i maps to
+    input coord i * (in-1)/(out-1).
+    """
     n, h, w, c = x.shape
-    # align_corners=True to mirror torch nn.UpsamplingBilinear2d.
-    return jax.image.resize(x, (n, h * factor, w * factor, c), method="bilinear")
+    oh, ow = h * factor, w * factor
+
+    def coords(out_n, in_n):
+        if out_n == 1 or in_n == 1:
+            return jnp.zeros((out_n,), jnp.float32)
+        return jnp.arange(out_n, dtype=jnp.float32) * ((in_n - 1) / (out_n - 1))
+
+    ys, xs = coords(oh, h), coords(ow, w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).reshape(1, oh, 1, 1).astype(x.dtype)
+    fx = (xs - x0).reshape(1, 1, ow, 1).astype(x.dtype)
+    top = x[:, y0][:, :, x0] * (1 - fx) + x[:, y0][:, :, x1] * fx
+    bot = x[:, y1][:, :, x0] * (1 - fx) + x[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
 
 
 class ResUp(nn.Module):

@@ -146,12 +146,23 @@ def bilinear_additive_upsampling(x, to_channel: int):
 
 
 def spatial_pyramid_pool(x, out_bin_sizes=(4, 2, 1)):
-    """SPP over NHWC (custom_layers.py:348-374): concat of adaptive max-pools."""
+    """SPP over NHWC (custom_layers.py:348-374): concat of adaptive max-pools.
 
+    Exact torch AdaptiveMaxPool2d semantics — EXACTLY ``size x size`` bins per
+    level with boundaries floor(i*n/s)..ceil((i+1)*n/s), so the feature length
+    is input-size-independent (a floor-divide window would emit a varying
+    number of bins for non-divisible H/W)."""
     n, h, w, c = x.shape
     feats = []
     for size in out_bin_sizes:
-        kh, kw = h // size, w // size
-        pooled = nn.max_pool(x, (kh, kw), strides=(kh, kw))
+        rows = []
+        for i in range(size):
+            y0, y1 = (i * h) // size, -(-((i + 1) * h) // size)
+            cols = []
+            for j in range(size):
+                x0, x1 = (j * w) // size, -(-((j + 1) * w) // size)
+                cols.append(jnp.max(x[:, y0:y1, x0:x1, :], axis=(1, 2)))
+            rows.append(jnp.stack(cols, axis=1))       # (n, size, c)
+        pooled = jnp.stack(rows, axis=1)               # (n, size, size, c)
         feats.append(pooled.reshape(n, -1))
     return jnp.concatenate(feats, axis=1)

@@ -11,7 +11,8 @@ TPU-native re-design of ``medseg/models/segmentation_models/unet.py`` and
     trunk, auxiliary 1x1 heads on the two coarsest decoder levels, upsampled
     and summed/returned for deep supervision.
   * ``FCN``                 <- FCN (fcn.py:10-197): VGG-ish trunk, per-level
-    1x1 lateral heads upsampled to full resolution, concatenated and fused.
+    3x3 lateral heads (level_*_out, fcn.py:49-53) upsampled to full
+    resolution, concatenated and fused by two 1x1 convs (fcn.py:61).
 """
 
 from __future__ import annotations
@@ -86,16 +87,25 @@ class UNet(nn.Module):
         f = self.feature_scale
         dc = lambda feats: DoubleConv(feats, norm=self.norm, if_SN=self.if_SN,
                                       dtype=self.dtype)
-        x1 = dc(64 // f)(x, train)
-        x2 = dc(128 // f)(_maxpool2(x1), train)
-        x3 = dc(256 // f)(_maxpool2(x2), train)
-        x4 = dc(512 // f)(_maxpool2(x3), train)
-        x5 = dc(512 // f)(_maxpool2(x4), train)
+
+        def drop(h, rate):
+            # channel dropout after each down/up block (unet_parts.down:176-182)
+            if rate:
+                h = nn.Dropout(rate=rate, broadcast_dims=(1, 2),
+                               deterministic=not train)(h)
+            return h
+
+        enc, dec = self.encoder_dropout, self.decoder_dropout
+        x1 = drop(dc(64 // f)(x, train), enc)
+        x2 = drop(dc(128 // f)(_maxpool2(x1), train), enc)
+        x3 = drop(dc(256 // f)(_maxpool2(x2), train), enc)
+        x4 = drop(dc(512 // f)(_maxpool2(x3), train), enc)
+        x5 = drop(dc(512 // f)(_maxpool2(x4), train), enc)
 
         def up(a, skip, feats):
             a = upsample_bilinear(a)
             a = jnp.concatenate([skip, a], axis=-1)
-            return dc(feats)(a, train)
+            return drop(dc(feats)(a, train), dec)
 
         h = up(x5, x4, 256 // f)
         h = up(h, x3, 128 // f)

@@ -65,18 +65,18 @@ def shard_train_step(step_fn, mesh: Mesh, axis: str = "data",
 
 
 def pad_batch_to_multiple(batch, multiple: int):
-    """Pad axis-0 of every array in the batch dict (by edge repeat) so it is
-    divisible by the mesh size; returns (batch, real_count)."""
-    import numpy as np
+    """Pad axis-0 of every array in the batch dict (by wrap-tiling) so it is
+    divisible by the mesh size; returns (batch, real_count).
 
+    Tiles the batch as many times as needed, so shortfalls larger than the
+    batch itself (n < multiple) still fill exactly."""
     n = next(iter(batch.values())).shape[0]
     rem = n % multiple
+    out = {k: np.asarray(v) for k, v in batch.items()}
     if rem == 0:
-        return batch, n
+        return out, n
     pad = multiple - rem
-    out = {}
-    for k, v in batch.items():
-        v = np.asarray(v)
-        reps = np.concatenate([v, v[:pad]], axis=0)
-        out[k] = reps
+    for k, v in out.items():
+        idx = np.resize(np.arange(n), pad)
+        out[k] = np.concatenate([v, v[idx]], axis=0)
     return out, n

@@ -86,11 +86,13 @@ class SegmentationSolver:
     def make_train_step(self, donate: bool = True):
         def step(state: TrainState, batch, rng):
             image, label = batch["image"], batch["label"]
+            rng, k_drop = jax.random.split(rng)
 
             def loss_fn(p):
                 out, ups = self.model.apply(
                     {"params": p, "batch_stats": state.batch_stats},
-                    image, train=True, mutable=["batch_stats"])
+                    image, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": k_drop})
                 if isinstance(out, tuple):  # deeply supervised nets
                     main, auxs = out
                     loss = L.basic_loss_fn(main, label, self.loss_type)

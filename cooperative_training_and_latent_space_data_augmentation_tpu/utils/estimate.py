@@ -62,7 +62,7 @@ def estimate_size(fn: Callable, *example_args) -> Dict[str, float]:
 
 
 def extract_features(module, variables, x, layer_filter: Optional[str] = None,
-                     train: bool = False) -> Tuple[Any, Dict[str, Any]]:
+                     train: bool = False, rng=None) -> Tuple[Any, Dict[str, Any]]:
     """Run ``module`` capturing every submodule's output
     (HookBasedFeatureExtractor, model_util.py:674-727).
 
@@ -71,9 +71,13 @@ def extract_features(module, variables, x, layer_filter: Optional[str] = None,
     """
     filter_fn = (lambda mdl, method: True) if layer_filter is None else (
         lambda mdl, method: layer_filter in mdl.path[-1] if mdl.path else False)
+    rngs = None
+    if train:
+        # modules with nn.Dropout need a 'dropout' PRNG in train mode
+        rngs = {"dropout": rng if rng is not None else jax.random.PRNGKey(0)}
     out, state = module.apply(
         variables, x, train=train, mutable=["intermediates", "batch_stats"],
-        capture_intermediates=filter_fn)
+        capture_intermediates=filter_fn, rngs=rngs)
     inter = state.get("intermediates", {})
 
     flat: Dict[str, Any] = {}

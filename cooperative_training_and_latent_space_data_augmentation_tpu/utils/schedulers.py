@@ -149,8 +149,11 @@ def clip_grad_by_adam_bound(beta2: float = 0.999, eps: float = 0.1,
             return jnp.where(prev_count >= 1, jnp.clip(g, -bound, bound), g)
 
         clipped = jax.tree.map(clip, grads, state["nu"])
+        # accumulate the CLIPPED gradients: the reference overwrites p.grad
+        # before optimizer.step(), so Adam's exp_avg_sq (which defines the
+        # next bound) sees post-clip values (model_util.py:152-154)
         nu = jax.tree.map(lambda v, g: beta2 * v + (1 - beta2) * g * g,
-                          state["nu"], grads)
+                          state["nu"], clipped)
         return clipped, {"nu": nu, "count": prev_count + 1}
 
     return optax.GradientTransformation(init, update)

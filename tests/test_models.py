@@ -174,3 +174,53 @@ def test_domain_specific_encoder():
     # ...but only domain 0's stats moved in the domain-0 pass
     s0 = jax.tree_util.tree_leaves(ups0["batch_stats"])
     assert any(np.any(np.asarray(a) != 0) for a in s0)
+
+
+def test_unet_dropout_wired():
+    """encoder/decoder dropout fields must actually apply (review finding:
+    they were declared but ignored)."""
+    net = UNet(num_classes=4, feature_scale=4, encoder_dropout=0.5,
+               decoder_dropout=0.5)
+    x = jnp.ones((2, 32, 32, 1)) * 0.5
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    y1, _ = net.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    y2, _ = net.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    # different dropout draws -> different outputs; eval -> deterministic
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    e1 = net.apply(v, x, train=False)
+    e2 = net.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_spatial_pyramid_pool_exact_bins():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models.layers import (
+        spatial_pyramid_pool,
+    )
+    import torch
+
+    x = np.random.RandomState(0).rand(2, 10, 10, 3).astype(np.float32)
+    out = np.asarray(spatial_pyramid_pool(jnp.asarray(x), (4, 2, 1)))
+    assert out.shape == (2, (16 + 4 + 1) * 3)
+    # parity with torch AdaptiveMaxPool2d
+    xt = torch.tensor(np.moveaxis(x, -1, 1))
+    ref = []
+    for s in (4, 2, 1):
+        p = torch.nn.AdaptiveMaxPool2d(s)(xt)  # N,C,s,s
+        ref.append(np.moveaxis(p.numpy(), 1, -1).reshape(2, -1))
+    np.testing.assert_allclose(out, np.concatenate(ref, axis=1), rtol=1e-6)
+
+
+def test_upsample_bilinear_align_corners_parity():
+    import torch
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks import (
+        upsample_bilinear,
+    )
+
+    x = np.random.RandomState(1).rand(2, 6, 9, 4).astype(np.float32)
+    ours = np.asarray(upsample_bilinear(jnp.asarray(x)))
+    ref = torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+        torch.tensor(np.moveaxis(x, -1, 1))).numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(ref, 1, -1), atol=1e-6)

@@ -74,3 +74,9 @@ def test_sharded_cooperative_train_step():
                     jax.tree_util.tree_leaves(out_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_pad_batch_shortfall_larger_than_n():
+    batch = {"image": np.ones((3, 4, 4, 1)), "label": np.zeros((3, 4, 4))}
+    padded, real = pad_batch_to_multiple(batch, 8)
+    assert padded["image"].shape[0] == 8 and real == 3
