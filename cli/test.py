@@ -94,12 +94,18 @@ def build_datasets(args):
                 # written by cli/generate_acdc_c.py mirroring
                 # generate_artefacted_data.py:66-110) and already preprocessed —
                 # no resample/normalize on load.
-                per_frame = [CardiacMMDataset(
-                    root_dir=root, frame=f, dataset_name=name,
-                    image_format_name="{p_id}/{frame}_img.nrrd",
-                    label_format_name="{p_id}/{frame}_seg.nrrd",
-                    if_resample=False, normalize=False)
-                    for f in args.frames]
+                per_frame = []
+                for f in args.frames:
+                    ds = CardiacMMDataset(
+                        root_dir=root, frame=f, dataset_name=name,
+                        image_format_name="{p_id}/{frame}_img.nrrd",
+                        label_format_name="{p_id}/{frame}_seg.nrrd",
+                        if_resample=False, normalize=False)
+                    # generated ACDC-C volumes ARE at the 1.36719 mm in-plane
+                    # grid (no resample on load needed); keep HD/ASD in mm,
+                    # comparable with the ACDC/MM rows
+                    ds.voxelspacing = [1.36719, 1.36719, -1.0]
+                    per_frame.append(ds)
                 datasets[name] = ConcatDataset(per_frame)
     return datasets
 

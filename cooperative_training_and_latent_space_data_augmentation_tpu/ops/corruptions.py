@@ -166,11 +166,12 @@ CORRUPTIONS = {
 
 def corrupt_volume(key, volume_nhw, name: str):
     """Apply one named corruption slice-wise to an (N, H, W) volume in [0,1]
-    (mirrors the reference's per-volume TorchIO attack,
-    generate_artefacted_data.py:66-110)."""
+    with ONE shared parameter draw across slices — volume-coherent artifacts,
+    like the reference's single TorchIO transform per patient volume
+    (generate_artefacted_data.py:66-110): the same bias field / spike
+    position / ghost period / motion segments on every slice."""
     fn = CORRUPTIONS[name]
-    keys = jax.random.split(key, volume_nhw.shape[0])
-    return jax.vmap(lambda k, s: fn(k, s))(keys, volume_nhw)
+    return jax.vmap(lambda s: fn(key, s))(volume_nhw)
 
 
 @partial(jax.jit, static_argnames=("name",))

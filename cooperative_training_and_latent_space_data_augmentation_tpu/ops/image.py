@@ -86,10 +86,18 @@ def center_crop_or_pad(image, crop_hw: Tuple[int, int], pad_value: float = 0.0):
     return image[..., h_s:h_s + new_h, w_s:w_s + new_w]
 
 
-def center_crop_or_pad_nhwc(image, crop_hw: Tuple[int, int], pad_value: float = 0.0):
-    """Center crop/pad an NHWC (or HWC / NHW) array along H, W (axes -3, -2
-    for channel-last inputs)."""
-    moved = jnp.moveaxis(image, -1, 0)  # C(.., H, W) if channel-last
+def center_crop_or_pad_nhwc(image, crop_hw: Tuple[int, int], pad_value: float = 0.0,
+                            channel_last: bool = True):
+    """Center crop/pad along H, W.
+
+    ``channel_last=True`` (default): NHWC or HWC input — H, W are axes
+    -3, -2.  ``channel_last=False``: NHW / HW input — H, W are the LAST two
+    axes (moveaxis would otherwise treat W as a channel axis and crop the
+    batch dimension instead).
+    """
+    if not channel_last:
+        return center_crop_or_pad(image, crop_hw, pad_value)
+    moved = jnp.moveaxis(image, -1, 0)  # C(.., H, W)
     out = center_crop_or_pad(moved, crop_hw, pad_value)
     return jnp.moveaxis(out, 0, -1)
 

@@ -123,8 +123,9 @@ def entropy_loss(logits, eps: float = 1e-12):
     return jnp.mean(ent) / jnp.log(logits.shape[-1])
 
 
-def kl_divergence(p_logit, q_logit, eps: float = 1e-12):
-    """KL(softmax(p) || softmax(q)) mean over pixels (custom_loss:863-890)."""
+def kl_divergence(p_logit, q_logit):
+    """KL(softmax(p) || softmax(q)) mean over pixels (custom_loss:863-890).
+    No eps needed: log_softmax is numerically stable."""
     p = jax.nn.softmax(p_logit, axis=-1)
     return jnp.mean(jnp.sum(
         p * (jax.nn.log_softmax(p_logit, axis=-1) - jax.nn.log_softmax(q_logit, axis=-1)),
@@ -145,25 +146,24 @@ def smooth_l1_loss(pred, target, beta: float = 1.0):
     return jnp.mean(jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta))
 
 
-def calc_angular_loss(a, b, eps: float = 1e-8):
-    """1 - cosine similarity over flattened spatial dims (custom_loss:43-55);
-    NHWC tensors, similarity per (N, C) vector pair."""
+def _pairwise_spatial_cosine(a, b, eps: float):
+    """Cosine similarity per (N, C) pair over flattened spatial dims (NHWC)."""
     n, h, w, c = a.shape
     av = a.transpose(0, 3, 1, 2).reshape(n, c, -1)
     bv = b.transpose(0, 3, 1, 2).reshape(n, c, -1)
-    cos = jnp.sum(av * bv, -1) / (
+    return jnp.sum(av * bv, -1) / (
         jnp.linalg.norm(av, axis=-1) * jnp.linalg.norm(bv, axis=-1) + eps)
-    return jnp.mean(1.0 - cos)
+
+
+def calc_angular_loss(a, b, eps: float = 1e-8):
+    """1 - cosine similarity over flattened spatial dims (custom_loss:43-55);
+    NHWC tensors, similarity per (N, C) vector pair."""
+    return jnp.mean(1.0 - _pairwise_spatial_cosine(a, b, eps))
 
 
 def calc_correlation_loss(a, b, eps: float = 1e-8):
     """Encourage dissimilarity: mean |cos| between spatial vectors (custom_loss:57-68)."""
-    n, h, w, c = a.shape
-    av = a.transpose(0, 3, 1, 2).reshape(n, c, -1)
-    bv = b.transpose(0, 3, 1, 2).reshape(n, c, -1)
-    cos = jnp.sum(av * bv, -1) / (
-        jnp.linalg.norm(av, axis=-1) * jnp.linalg.norm(bv, axis=-1) + eps)
-    return jnp.mean(jnp.abs(cos))
+    return jnp.mean(jnp.abs(_pairwise_spatial_cosine(a, b, eps)))
 
 
 def gram_matrix(x):

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import zlib
 from functools import partial
 from os.path import join
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -188,7 +189,8 @@ class CooperativeTripletSolver:
         module = self.modules[name]
         variables = {"params": params[name], "batch_stats": stats[name]}
         if rngs is not None:
-            rngs = {k: jax.random.fold_in(v, hash(name) % (2 ** 31))
+            # zlib.crc32: stable across processes (hash() is salted)
+            rngs = {k: jax.random.fold_in(v, zlib.crc32(name.encode()) & 0x7FFFFFFF)
                     for k, v in rngs.items()}
         if train:
             def fwd(variables, x):
@@ -308,7 +310,7 @@ class CooperativeTripletSolver:
         frozen = jax.lax.stop_gradient(params[name])
         frozen_stats = stats[name]
         if rngs is not None:
-            rngs = {k: jax.random.fold_in(v, hash(name) % (2 ** 31))
+            rngs = {k: jax.random.fold_in(v, zlib.crc32(name.encode()) & 0x7FFFFFFF)
                     for k, v in rngs.items()}
 
         def fn(z):

@@ -42,13 +42,18 @@ def test_bias_field_is_smooth_multiplicative():
     assert corr > 0.9
 
 
-def test_corrupt_volume_slicewise():
-    vol = jnp.stack([_phantom() for _ in range(3)])
+def test_corrupt_volume_coherent():
+    """One shared parameter draw per volume (like a single TorchIO transform
+    per patient): identical slices get identical corruption."""
+    base = _phantom()
+    vol = jnp.stack([base, base, base])
     out = C.corrupt_volume(jax.random.PRNGKey(0), vol, "RandomGhosting")
     assert out.shape == vol.shape
-    # per-slice keys -> slices corrupted differently
     o = np.asarray(out)
-    assert not np.allclose(o[0], o[1])
+    np.testing.assert_allclose(o[0], o[1], rtol=1e-6)
+    # ...while different keys give different artifacts
+    out2 = C.corrupt_volume(jax.random.PRNGKey(1), vol, "RandomGhosting")
+    assert not np.allclose(o[0], np.asarray(out2)[0])
 
 
 def test_corruptions_jittable():
