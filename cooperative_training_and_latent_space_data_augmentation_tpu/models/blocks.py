@@ -55,20 +55,42 @@ class BatchNorm(nn.Module):
     collection.  Freezing stats (= the reference's
     ``_disable_tracking_bn_stats``) is done by the caller simply discarding
     the emitted updates.
+
+    Implemented directly (not via flax ``nn.BatchNorm``) for exact torch
+    running-stat semantics: torch normalizes with the *biased* batch variance
+    but updates ``running_var`` with the *unbiased* (Bessel-corrected)
+    variance; flax's built-in stores the biased one.  Verified against
+    ``nn.BatchNorm2d`` by the weight-transplant tests
+    (tests/test_torch_parity.py).
     """
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
+        feats = x.shape[-1]
         # Stats and affine math always in float32: under bf16 mixed
         # precision the norm is the numerically sensitive op, and XLA fuses
         # the casts into the surrounding convs anyway.
-        return nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            scale_init=bn_scale_init,
-            dtype=jnp.float32,
-        )(x)
+        scale = self.param("scale", bn_scale_init, (feats,))
+        bias = self.param("bias", nn.initializers.zeros, (feats,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feats,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feats,), jnp.float32))
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
+            if not self.is_initializing():
+                n = x.size // feats
+                unbiased = var * (n / (n - 1.0)) if n > 1 else var
+                m = BN_MOMENTUM
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        y = (x32 - mean) * jax.lax.rsqrt(var + BN_EPS) * scale + bias
+        return y.astype(x.dtype)
 
 
 class Norm(nn.Module):
@@ -88,10 +110,7 @@ class Norm(nn.Module):
         # BatchNorm above): if bf16 compute ever reaches the UNet baselines,
         # the normalization math must not silently follow it down.
         if self.kind == "batch":
-            return nn.BatchNorm(
-                use_running_average=use_running_average,
-                momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                scale_init=bn_scale_init, dtype=jnp.float32)(x)
+            return BatchNorm()(x, use_running_average)
         if self.kind == "instance":
             return nn.InstanceNorm(epsilon=BN_EPS, use_bias=False,
                                    use_scale=False, dtype=jnp.float32)(x)

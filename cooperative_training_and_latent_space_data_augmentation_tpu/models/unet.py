@@ -103,9 +103,11 @@ class UNet(nn.Module):
         x5 = drop(dc(512 // f)(_maxpool2(x4), train), enc)
 
         def up(a, skip, feats):
+            # decoder dropout hits the skip-concat BEFORE the double conv
+            # (unet_parts.up:497-500), unlike the encoder's post-conv dropout.
             a = upsample_bilinear(a)
-            a = jnp.concatenate([skip, a], axis=-1)
-            return drop(dc(feats)(a, train), dec)
+            a = drop(jnp.concatenate([skip, a], axis=-1), dec)
+            return dc(feats)(a, train)
 
         h = up(x5, x4, 256 // f)
         h = up(h, x3, 128 // f)
@@ -223,53 +225,76 @@ class ResConvUNet(nn.Module):
 
 
 class DeeplySupervisedUNet(nn.Module):
-    """UNet with auxiliary heads on coarse decoder levels (unet.py:201-319).
+    """UNet with progressively *mixed* deep-supervision heads (unet.py:201-319).
 
-    Returns (main_logits, [aux_logits...]) when ``train`` else main logits.
+    Reference semantics: 1x1 heads on the two middle decoder stages are
+    summed level-by-level (``dsv_mixed = up2x(dsv_x2) + dsv_x3``) and the
+    final output is ``outc(x4) + up2x(dsv_mixed)`` (unet.py:228-251).
+    ``multi_out=True`` returns ``(out, dsv_mixed_up, final)``.
+
+    Widths follow ``base_n_filters`` (64 -> 64/128/256/512/512), NOT the
+    plain UNet's ``feature_scale``.  Dropout (``nn.Dropout2d``) hits the
+    down2/down3/down4 outputs and the up1..up3 skip-concats (unet.py:222-242).
+    """
+
+    num_classes: int = 4
+    base_n_filters: int = 64
+    dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, multi_out: bool = False):
+        b = self.base_n_filters
+        dc = lambda feats: DoubleConv(feats, dtype=self.dtype)
+
+        def drop(h):
+            if self.dropout:
+                h = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(h)
+            return h
+
+        x1 = dc(b)(x, train)
+        x2 = dc(b * 2)(_maxpool2(x1), train)
+        x3 = drop(dc(b * 4)(_maxpool2(x2), train))
+        x4 = drop(dc(b * 8)(_maxpool2(x3), train))
+        x5 = drop(dc(b * 8)(_maxpool2(x4), train))
+
+        def up(a, skip, feats, dropout_concat):
+            a = upsample_bilinear(a)
+            a = jnp.concatenate([skip, a], axis=-1)
+            if dropout_concat:
+                a = drop(a)
+            return dc(feats)(a, train)
+
+        d1 = up(x5, x4, b * 4, True)
+        d2 = up(d1, x3, b * 2, True)
+        dsv_x2 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                         dtype=jnp.float32)(d2.astype(jnp.float32))
+        d3 = up(d2, x2, b, True)
+        dsv_x3 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                         dtype=jnp.float32)(d3.astype(jnp.float32))
+        dsv_mixed = upsample_bilinear(dsv_x2) + dsv_x3
+        dsv_mixed_up = upsample_bilinear(dsv_mixed)
+        d4 = up(d3, x1, b, False)
+        out = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
+                      dtype=jnp.float32)(d4.astype(jnp.float32))
+        final = out + dsv_mixed_up
+        if multi_out:
+            return out, dsv_mixed_up, final
+        return final
+
+
+class FCN(nn.Module):
+    """Bai-style multi-scale aggregation FCN (fcn.py:10-197).
+
+    ``decoder_dropout``: channel dropout applied after BOTH 1x1 fusion convs
+    (fcn.py:102-106, F.dropout2d around conv_final).
     """
 
     num_classes: int = 4
     feature_scale: int = 4
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        f = self.feature_scale
-        x1 = DoubleConv(64 // f)(x, train)
-        x2 = DoubleConv(128 // f)(_maxpool2(x1), train)
-        x3 = DoubleConv(256 // f)(_maxpool2(x2), train)
-        x4 = DoubleConv(512 // f)(_maxpool2(x3), train)
-        x5 = DoubleConv(512 // f)(_maxpool2(x4), train)
-
-        def up(a, skip, feats):
-            a = upsample_bilinear(a)
-            a = jnp.concatenate([skip, a], axis=-1)
-            return DoubleConv(feats)(a, train)
-
-        d1 = up(x5, x4, 256 // f)
-        d2 = up(d1, x3, 128 // f)
-        d3 = up(d2, x2, 64 // f)
-        d4 = up(d3, x1, 64 // f)
-        out = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                      dtype=d4.dtype)(d4)
-        aux1 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                       dtype=d1.dtype)(d1)
-        aux2 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
-                       dtype=d2.dtype)(d2)
-        n, h, w, c = out.shape
-        aux1 = jnp.reshape(
-            upsample_bilinear(upsample_bilinear(upsample_bilinear(aux1))), (n, h, w, c))
-        aux2 = jnp.reshape(upsample_bilinear(upsample_bilinear(aux2)), (n, h, w, c))
-        if train:
-            return out, [aux1, aux2]
-        return out
-
-
-class FCN(nn.Module):
-    """Bai-style multi-scale aggregation FCN (fcn.py:10-197)."""
-
-    num_classes: int = 4
-    feature_scale: int = 4
     input_channel: int = 1
+    decoder_dropout: Optional[float] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -302,14 +327,20 @@ class FCN(nn.Module):
         o4 = ConvBNRelu_(filters[0])(l4, train)
         o5 = ConvBNRelu_(filters[0])(l5, train)
 
-        def up_to(a, times):
-            for _ in range(times):
-                a = upsample_bilinear(a)
-            return a
-
+        # Single-shot align-corners upsample per level (fcn.py:66-69 uses one
+        # nn.Upsample(scale_factor=2**k, align_corners=True) per level, which
+        # is NOT numerically equal to k chained 2x upsamples).
         feats = jnp.concatenate(
-            [o1, up_to(o2, 1), up_to(o3, 2), up_to(o4, 3), up_to(o5, 4)], axis=-1)
-        feats = ConvBNRelu_(64, kernel=1)(feats, train)
-        feats = ConvBNRelu_(64, kernel=1)(feats, train)
+            [o1, upsample_bilinear(o2, 2), upsample_bilinear(o3, 4),
+             upsample_bilinear(o4, 8), upsample_bilinear(o5, 16)], axis=-1)
+
+        def drop(h):
+            if self.decoder_dropout:
+                h = nn.Dropout(rate=self.decoder_dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(h)
+            return h
+
+        feats = drop(ConvBNRelu_(64, kernel=1)(feats, train))
+        feats = drop(ConvBNRelu_(64, kernel=1)(feats, train))
         return nn.Conv(self.num_classes, (1, 1), kernel_init=conv_kernel_init,
                        dtype=jnp.float32)(feats.astype(jnp.float32))

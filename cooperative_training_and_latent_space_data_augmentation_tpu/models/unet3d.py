@@ -17,9 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks import (
-    BN_EPS,
-    BN_MOMENTUM,
-    bn_scale_init,
+    BatchNorm,
     conv_kernel_init,
 )
 
@@ -36,9 +34,8 @@ class UnetConv3(nn.Module):
             x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                         kernel_init=conv_kernel_init, dtype=x.dtype)(x)
             if self.is_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                 scale_init=bn_scale_init, dtype=jnp.float32)(x)
+                # shared rank-agnostic BatchNorm (torch running-var semantics)
+                x = BatchNorm()(x, use_running_average=not train)
             x = nn.relu(x)
         return x
 

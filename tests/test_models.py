@@ -103,11 +103,16 @@ def test_baseline_variants(net):
 
 def test_deeply_supervised_unet():
     x = jnp.zeros((1, 64, 64, 1))
-    model = DeeplySupervisedUNet(num_classes=4, feature_scale=4)
+    model = DeeplySupervisedUNet(num_classes=4, base_n_filters=16)
     variables = model.init(jax.random.PRNGKey(0), x, train=True)
-    (main, auxs), _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
-    assert main.shape == (1, 64, 64, 4)
-    assert all(a.shape == main.shape for a in auxs)
+    final, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert final.shape == (1, 64, 64, 4)
+    # multi_out returns (out, dsv_mixed_up, final) with final = out + dsv
+    (out, dsv, final2), _ = model.apply(
+        variables, x, train=True, multi_out=True, mutable=["batch_stats"])
+    assert out.shape == dsv.shape == final2.shape == (1, 64, 64, 4)
+    np.testing.assert_allclose(np.asarray(out + dsv), np.asarray(final2),
+                               rtol=0, atol=1e-6)
 
 
 def test_bn_stats_update_and_freeze():
