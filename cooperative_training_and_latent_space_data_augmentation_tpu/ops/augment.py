@@ -45,6 +45,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # --------------------------------------------------------------- policy cfg
@@ -316,48 +317,111 @@ def random_flip(key, img_hwc, label_hw, policy: AugmentPolicy):
     return img_hwc, label_hw
 
 
-def bias_field_v1(key, img_hwc, policy: AugmentPolicy):
-    """Multi-scale Gaussian-smoothed multiplicative bias
-    (MyRandomPurtarbation, intensity_transform.py:272-370)."""
-    h, w, c = img_hwc.shape
-    keys = jax.random.split(key, len(policy.multi_control_points) + 1)
+# Amplitude gain matching the reference's *realized* V1 field.  The torch
+# reference (intensity_transform.py:334-338) builds each per-scale field via
+# ``Image.fromarray(float32_grid, mode='L')`` — deprecated PIL behavior that
+# REINTERPRETS the float32 bytes as uint8, so the Gaussian-smoothed grid is
+# replaced by byte noise.  With the intended mode ('F') the field degenerates
+# to a constant 1.0 (measured: post-clip std = 0.000) — i.e. the byte quirk
+# IS the augmentation that trained the published models.  The JAX rebuild
+# keeps the intended structure (random coarse grids, bicubic upsample,
+# 1/cp scale weights, sigma=max_sigma blur, mean normalization, clip) and
+# scales the pre-clip fluctuation so the post-clip statistics match the
+# realized reference distribution (lifted-construction targets, 100 draws at
+# 224^2, magnitude 0.3: std 0.235, clip fractions 0.24/0.21, autocorr
+# half-length 48-64 px; this gain gives 0.236/0.23/0.22/64 — validated by
+# tests/test_augment_fields.py).
+_V1_REALIZED_GAIN = 1.75
+
+
+def bias_field_v1_field(key, h: int, w: int, policy: AugmentPolicy):
+    """The V1 multiplicative bias field itself (MyRandomPurtarbation,
+    intensity_transform.py:300-345): per-scale random control grids ->
+    bicubic upsample -> 1/cp weights -> sum -> Gaussian(max_sigma) blur ->
+    normalize to mean 1 -> clip to [1 +/- magnitude]."""
+    keys = jax.random.split(key, len(policy.multi_control_points))
     total = jnp.zeros((h, w))
     for i, cp in enumerate(sorted(policy.multi_control_points)):
+        # No grid-level blur: the reference's gaussian_filter(grid, 2*cp) is
+        # destroyed by the PIL byte-reinterpretation (see _V1_REALIZED_GAIN),
+        # so the realized per-scale fields are unsmoothed noise grids.
         field = jax.random.uniform(keys[i], (cp, cp))
-        sigma = min(cp * 2.0, policy.max_sigma)
-        # blur the (cp, cp) control grid with the full-resolution sigma
-        # converted to grid units (sigma * cp / h); using the full-res sigma
-        # directly would erase all variation from the tiny grid.
-        field = fft_gaussian_blur(field, jnp.asarray(sigma * cp / max(h, 1)))
         interp = jax.image.resize(field, (h, w), "bicubic")
         interp = interp / (interp.sum() * cp + 1e-12)
         total = total + interp
     total = fft_gaussian_blur(total, jnp.asarray(policy.max_sigma))
     total = total / (total.sum() + 1e-12) * (h * w)  # ~identity field
-    total = jnp.clip(total, 1.0 - policy.perturb_magnitude,
-                     1.0 + policy.perturb_magnitude)
+    total = 1.0 + _V1_REALIZED_GAIN * (total - 1.0)
+    return jnp.clip(total, 1.0 - policy.perturb_magnitude,
+                    1.0 + policy.perturb_magnitude)
+
+
+def bias_field_v1(key, img_hwc, policy: AugmentPolicy):
+    """Multi-scale multiplicative bias + rescale + noise
+    (MyRandomPurtarbation, intensity_transform.py:272-370)."""
+    h, w, c = img_hwc.shape
+    k_field, k_noise = jax.random.split(key)
+    total = bias_field_v1_field(k_field, h, w, policy)
     out = img_hwc * total[:, :, None]
     mn, mx = out.min(), out.max()
     out = (out - mn) / (mx - mn + 1e-8)
     if policy.add_noise:
-        noise = jax.random.normal(keys[-1], (h, w, c)) * policy.noise_epsilon
+        noise = jax.random.normal(k_noise, (h, w, c)) * policy.noise_epsilon
         out = jnp.clip(out + noise, 0.0, 1.0)
     return out
 
 
-def bias_field_v2(key, img_hwc, policy: AugmentPolicy):
-    """Coarse-knot smooth multiplicative bias (MyRandomPurtarbationV2:373-546).
+def _bspline_weight_matrix(n_out: int, n_coef: int, spacing: float) -> np.ndarray:
+    """Uniform cubic B-spline evaluation weights: W[o, i] = B3(o/spacing - i),
+    rows renormalized at the boundary.  Static (shape-only) -> computed in
+    numpy at trace time and baked into the jitted graph as a constant; the
+    field evaluation itself is then one small matmul per axis (MXU-friendly).
+    """
+    o = np.arange(n_out, dtype=np.float64)[:, None] / spacing
+    i = np.arange(n_coef, dtype=np.float64)[None, :]
+    t = np.abs(o - i)
+    w = np.where(t < 1, (4 - 6 * t**2 + 3 * t**3) / 6,
+                 np.where(t < 2, (2 - t)**3 / 6, 0.0))
+    w = w / w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
 
-    Knots 1 + U(-m, m) on a grid with the coarsest requested spacing,
-    upsampled bicubically (stand-in for the scipy RectBivariateSpline)."""
+
+def bias_field_v2_field(key, h: int, w: int, policy: AugmentPolicy):
+    """The V2 B-spline bias field (MyRandomPurtarbationV2,
+    intensity_transform.py:420-520).
+
+    Reference construction (note: the torch class HARDCODES
+    ``ms_control_point_spacing=[64]`` regardless of its constructor arg,
+    intensity_transform.py:405): extend the canvas to h + 1.5*spacing, place
+    1 + U(-m, m) knots every ``spacing`` px, evaluate a bicubic spline at
+    every pixel, normalize the extended field to mean 1, center-crop back,
+    clip to [1 +/- m].  The scipy smoothing spline (s=3) is replaced by a
+    uniform cubic B-spline with the knots as coefficients — validated
+    distributionally (mean/std/clip-fraction/autocorrelation) against the
+    scipy construction by tests/test_augment_fields.py.
+    """
+    spacing = max(int(policy.ms_control_point_spacing[0]), 1)
+    m = abs(policy.perturb_v2_magnitude)
+    ext_h = int(round(h + spacing * 1.5))
+    ext_w = int(round(w + spacing * 1.5))
+    n_h = len(range(-(ext_h // 2), ext_h // 2 + 1, spacing))
+    n_w = len(range(-(ext_w // 2), ext_w // 2 + 1, spacing))
+    knots = 1.0 + jax.random.uniform(key, (n_h, n_w), minval=-m, maxval=m)
+    w_y = jnp.asarray(_bspline_weight_matrix(ext_h, n_h, spacing))
+    w_x = jnp.asarray(_bspline_weight_matrix(ext_w, n_w, spacing))
+    z = w_y @ knots @ w_x.T
+    z = z / (z.sum() + 1e-12) * (ext_h * ext_w)  # mean 1 on the EXTENDED field
+    off_h, off_w = (ext_h - h) // 2, (ext_w - w) // 2
+    z = jax.lax.dynamic_slice(z, (off_h, off_w), (h, w))
+    return jnp.clip(z, 1.0 - m, 1.0 + m)
+
+
+def bias_field_v2(key, img_hwc, policy: AugmentPolicy):
+    """Coarse-knot B-spline multiplicative bias + rescale + noise
+    (MyRandomPurtarbationV2:373-546)."""
     h, w, c = img_hwc.shape
     k_field, k_noise = jax.random.split(key)
-    spacing = max(int(policy.ms_control_point_spacing[0]), 1)
-    gh = max(h // spacing + 4, 4)
-    gw = max(w // spacing + 4, 4)
-    m = abs(policy.perturb_v2_magnitude)
-    knots = 1.0 + jax.random.uniform(k_field, (gh, gw), minval=-m, maxval=m)
-    bias = jax.image.resize(knots, (h, w), "bicubic")
+    bias = bias_field_v2_field(k_field, h, w, policy)
     out = img_hwc * bias[:, :, None]
     mn, mx = out.min(), out.max()
     out = (out - mn) / (mx - mn + 1e-8)
