@@ -3,10 +3,18 @@
 Re-design of ``medseg/dataset_loader/generate_artefacted_data.py`` (:48-110):
 for each of the 20 ACDC test patients x seeds x 4 corruption models
 {RandomBias, RandomSpike, RandomGhosting, RandomMotion}, crop to 192x192,
-per-slice 0-1 rescale, apply the corruption ON DEVICE (jnp FFT k-space ops,
-ops/corruptions.py), rescale to [0,1], and save the cropped volume as
-``{attack}/{pid}_{seed}/{frame}_img.nrrd`` with a label copy alongside (the
-evaluation pipeline consumes the same 192x192 crop, so no un-crop step).
+per-slice 0-1 rescale (preprocess3D, :17-35), apply the corruption ON DEVICE
+(jnp FFT k-space ops, ops/corruptions.py), rescale to [0,1], then UN-CROP the
+corrupted volume back to the original HxW on a zero canvas (recover_image,
+common_utils/basic_operations.py:161-170) and save it as
+``{attack}/{pid}_{seed}/{frame}_img.nrrd`` with the ORIGINAL full-size label
+alongside as ``{frame}_label.nrrd`` (the reference symlinks the source label,
+generate_artefacted_data.py:103-110) — so volumes generated here are
+drop-in comparable with reference-generated ACDC-C.
+
+The reference loads the source volumes without resampling or whole-volume
+normalization (load_img_label_from_path with defaults, :70-71); only the
+per-slice min-max of the 192x192 crop is applied before the attack.
 
 Usage:
     python cli/generate_acdc_c.py --acdc_root /data/ACDC --out_root /data/ACDC-C \
@@ -17,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 from os.path import join
 
@@ -35,6 +44,7 @@ import numpy as np
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
     CardiacACDCDataset,
+    _read_volume,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.nifti import (
     write_nrrd,
@@ -48,6 +58,43 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.corruptions
 )
 
 
+def crop_with_offsets(vol_nhw: np.ndarray, crop: int):
+    """Center crop/pad to (crop, crop) returning the reference's recover
+    parameters (basic_operations.crop_or_pad:173-219): (cropped, h_s, w_s,
+    post_pad_h, post_pad_w).  Padding puts the extra row/col on the
+    lower-index side (torch pastes at -h_s = ceil((new-h)/2))."""
+    n, h, w = vol_nhw.shape
+    if h < crop:
+        top = -((h - crop) // 2)
+        canvas = np.zeros((n, crop, w), vol_nhw.dtype)
+        canvas[:, top:top + h] = vol_nhw
+        vol_nhw, h = canvas, crop
+    if w < crop:
+        left = -((w - crop) // 2)
+        canvas = np.zeros((n, h, crop), vol_nhw.dtype)
+        canvas[:, :, left:left + w] = vol_nhw
+        vol_nhw, w = canvas, crop
+    h_s, w_s = (h - crop) // 2, (w - crop) // 2
+    return vol_nhw[:, h_s:h_s + crop, w_s:w_s + crop], h_s, w_s, h, w
+
+
+def recover(vol_nhw: np.ndarray, h_s: int, w_s: int, orig_h: int, orig_w: int):
+    """Paste the corrupted crop back onto a zero canvas of the original size
+    (recover_image, basic_operations.py:161-170)."""
+    n, h, w = vol_nhw.shape
+    canvas = np.zeros((n, orig_h, orig_w), vol_nhw.dtype)
+    canvas[:, h_s:h_s + h, w_s:w_s + w] = vol_nhw
+    return canvas
+
+
+def per_slice_minmax(vol_nhw: np.ndarray):
+    """preprocess3D (generate_artefacted_data.py:17-35): per-slice min-max."""
+    flat = vol_nhw.reshape(vol_nhw.shape[0], -1)
+    lo = flat.min(axis=1)[:, None, None]
+    hi = flat.max(axis=1)[:, None, None]
+    return ((vol_nhw - lo) / (hi - lo + 1e-20)).astype(np.float32)
+
+
 def parse_args():
     p = argparse.ArgumentParser("ACDC-C generator (TPU)")
     p.add_argument("--acdc_root", type=str, required=True)
@@ -57,46 +104,51 @@ def parse_args():
     p.add_argument("--attacks", nargs="+", default=list(CORRUPTIONS),
                    choices=list(CORRUPTIONS))
     p.add_argument("--crop", type=int, default=192)
+    p.add_argument("--copy_labels", action="store_true",
+                   help="copy the source label file instead of symlinking")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     for frame in args.frames:
+        # reference parity: no resampling, no whole-volume normalization
+        # before the crop (generate_artefacted_data.py:70-71 loads raw)
         ds = CardiacACDCDataset(root_dir=args.acdc_root, frame=frame,
-                                split="test", data_setting="standard", cval=0)
-        for pid_index, pid in enumerate(ds.patient_ids):
+                                split="test", data_setting="standard", cval=0,
+                                if_resample=False, normalize=False)
+        for pid in ds.patient_ids:
             if pid not in TEST_LIST:
                 continue
-            img, lbl = ds.get_patient_data_for_testing(
-                pid_index, crop_size=(args.crop, args.crop))
-            vol = np.asarray(img)[..., 0]  # (N, H, W) in [0,1]
-            # true z spacing from the source header (the dataset's -1 z
-            # sentinel means 'unresampled'; do not bake |−1| = 1 mm into
-            # the generated files)
-            from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
-                _read_volume,
-            )
-
-            _, src_spacing = _read_volume(ds._img_path(pid))
-            out_spacing = (abs(ds.voxelspacing[0]), abs(ds.voxelspacing[1]),
-                           float(src_spacing[2]))
+            img_path = ds._img_path(pid)
+            vol, src_spacing = _read_volume(img_path)
+            vol = np.asarray(vol, np.float32)
+            cropped, h_s, w_s, oh, ow = crop_with_offsets(vol, args.crop)
+            cropped = per_slice_minmax(cropped)
             for attack in args.attacks:
                 for seed in args.seeds:
                     # deterministic across processes (Python hash() is
                     # salted per interpreter; zlib.crc32 is stable)
                     tag = f"{attack}/{pid}/{frame}/{seed}".encode()
                     key = jax.random.PRNGKey(zlib.crc32(tag) & 0x7FFFFFFF)
-                    corrupted = np.asarray(corrupt_volume_jit(
-                        key, vol.astype(np.float32), attack))
+                    corrupted = np.asarray(
+                        corrupt_volume_jit(key, cropped, attack))
+                    full = recover(corrupted, h_s, w_s, oh, ow)
                     out_dir = join(args.out_root, attack, f"{pid}_{seed}")
                     os.makedirs(out_dir, exist_ok=True)
                     write_nrrd(join(out_dir, f"{frame}_img.nrrd"),
-                               corrupted.astype(np.float32),
-                               spacing=out_spacing)
-                    write_nrrd(join(out_dir, f"{frame}_seg.nrrd"),
-                               np.asarray(lbl).astype(np.int16),
-                               spacing=out_spacing)
+                               full.astype(np.float32),
+                               spacing=tuple(float(s) for s in src_spacing))
+                    # original full-size label alongside (reference symlinks,
+                    # generate_artefacted_data.py:103-110)
+                    label_src = ds._label_path(pid)
+                    label_dst = join(out_dir, f"{frame}_label.nrrd")
+                    if os.path.islink(label_dst) or os.path.exists(label_dst):
+                        os.unlink(label_dst)
+                    if args.copy_labels:
+                        shutil.copyfile(label_src, label_dst)
+                    else:
+                        os.symlink(os.path.abspath(label_src), label_dst)
             print(f"{frame} {pid}: done")
 
 
