@@ -164,11 +164,11 @@ def visualize_hard_examples(solver, state, images_nhwc, labels_nhw, out_dir: str
     n_show = min(4, images.shape[0])
     paths = []
     def corrupt(z_i, z_s, images, labels, k1, k2, settings_i, settings_s):
-        ci = img_dec(perturb_latent_code(
-            z_i, img_dec, images, k1, settings_i, solver.num_classes))
-        cs = seg_dec(perturb_latent_code(
-            z_s, seg_dec, labels, k2, settings_s, solver.num_classes))
-        return ci, cs
+        masked_zi, _ = perturb_latent_code(
+            z_i, img_dec, images, k1, settings_i, solver.num_classes)
+        masked_zs, _ = perturb_latent_code(
+            z_s, seg_dec, labels, k2, settings_s, solver.num_classes)
+        return img_dec(masked_zi), seg_dec(masked_zs)
 
     # MaskSettings are hashable static args; the frozen decoders (params +
     # batch stats of the state at entry) are closure constants baked into

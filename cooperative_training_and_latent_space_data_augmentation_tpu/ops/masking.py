@@ -184,40 +184,45 @@ def perturb_latent_code(code, decoder_fn: Callable, target, rng,
 
     The caller is responsible for passing a ``decoder_fn`` with
     stop-gradiented parameters and frozen BN statistics (set_grad(False) +
-    _disable_tracking_bn_stats in the reference).  The returned code is
-    stop-gradiented (`if_detach=True` semantics at advanced...py:501,515).
+    _disable_tracking_bn_stats in the reference).  Returns
+    ``(masked_code, mask)`` like the reference (mask broadcast to the code
+    shape); both are stop-gradiented (`if_detach=True` semantics at
+    advanced...py:501,515).
     """
     k_branch, k_op = jax.random.split(rng)
     thr = settings.max_threshold
 
+    # Like the reference, every branch returns (masked_code, mask); masks are
+    # broadcast to the full code shape so the lax.switch branches agree
+    # (dropout/channel masks span channels, spatial masks span (h, w)).
     def do_dropout(k):
         masked, mask = dropout_mask(code, k, p=thr)
-        return masked, jnp.ones(())  # mask shapes differ per branch; return marker
+        return masked, mask
 
     def do_spatial(k):
         masked, mask = mask_latent_code_spatial_wise(
             code, decoder_fn, target, k, num_classes=num_classes,
             percentile=thr, random=settings.random_threshold,
             loss_name=settings.loss_name, if_soft=settings.if_soft)
-        return masked, jnp.ones(())
+        return masked, jnp.broadcast_to(mask, code.shape)
 
     def do_channel(k):
         masked, mask = mask_latent_code_channel_wise(
             code, decoder_fn, target, k, num_classes=num_classes,
             percentile=thr, random=settings.random_threshold,
             loss_name=settings.loss_name, if_soft=settings.if_soft)
-        return masked, jnp.ones(())
+        return masked, jnp.broadcast_to(mask, code.shape)
 
     if settings.mask_type == "dropout":
-        masked, _ = do_dropout(k_op)
+        masked, mask = do_dropout(k_op)
     elif settings.mask_type == "spatial":
-        masked, _ = do_spatial(k_op)
+        masked, mask = do_spatial(k_op)
     elif settings.mask_type == "channel":
-        masked, _ = do_channel(k_op)
+        masked, mask = do_channel(k_op)
     elif settings.mask_type == "random":
         branch = jax.random.randint(k_branch, (), 0, 3)
-        masked, _ = jax.lax.switch(
+        masked, mask = jax.lax.switch(
             branch, [do_dropout, do_spatial, do_channel], k_op)
     else:
         raise NotImplementedError(settings.mask_type)
-    return jax.lax.stop_gradient(masked)
+    return jax.lax.stop_gradient(masked), jax.lax.stop_gradient(mask)

@@ -79,6 +79,42 @@ NETWORK_TYPES = (
 )
 
 
+class _DropoutKeys:
+    """Per-forward dropout key stream.
+
+    torch draws a fresh dropout mask on every module forward; folding the
+    step key only by submodule name would hand the SAME mask to every
+    invocation of that submodule within one train step (standard pass, hard
+    pass, gt- vs pred-recon, frozen-decoder generation), correlating the
+    standard and hard losses' dropout noise.  This stream folds in a
+    trace-time call counter on top of the module-name tag, so repeated
+    applies draw independent masks.  The counter advances at trace time in
+    deterministic program order, so compiled graphs are reproducible.
+    """
+
+    def __init__(self, key: jax.Array):
+        self._key = key
+        self._count = 0
+
+    def next(self, name: str) -> Dict[str, jax.Array]:
+        self._count += 1
+        tag = (zlib.crc32(name.encode()) + self._count) & 0x7FFFFFFF
+        return {"dropout": jax.random.fold_in(self._key, tag)}
+
+
+def _resolve_rngs(rngs, name: str):
+    """Materialize flax rngs for one submodule forward: a `_DropoutKeys`
+    stream yields a fresh per-call key; a plain dict (external callers) is
+    folded by module name only."""
+    if rngs is None:
+        return None
+    if isinstance(rngs, _DropoutKeys):
+        return rngs.next(name)
+    # zlib.crc32: stable across processes (hash() is salted)
+    return {k: jax.random.fold_in(v, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+            for k, v in rngs.items()}
+
+
 def _mask_settings(cfg: MaskConfig) -> masking.MaskSettings:
     return masking.MaskSettings(
         loss_name=cfg.loss_name,
@@ -182,16 +218,13 @@ class CooperativeTripletSolver:
         ``train``  -> BN normalizes with batch stats (else running stats).
         ``update`` -> merge emitted running-stat updates into the state
                       (torch track_running_stats).
-        ``rngs``   -> flax RNGs (a {'dropout': key} dict when the solver was
-                      built with encoder/decoder dropout; keys are folded
-                      per-submodule so modules draw independent masks).
+        ``rngs``   -> flax RNGs: a `_DropoutKeys` stream (train step; fresh
+                      key per forward) or a {'dropout': key} dict (external
+                      callers; folded per-submodule).
         """
         module = self.modules[name]
         variables = {"params": params[name], "batch_stats": stats[name]}
-        if rngs is not None:
-            # zlib.crc32: stable across processes (hash() is salted)
-            rngs = {k: jax.random.fold_in(v, zlib.crc32(name.encode()) & 0x7FFFFFFF)
-                    for k, v in rngs.items()}
+        rngs = _resolve_rngs(rngs, name)
         if train:
             def fwd(variables, x):
                 return module.apply(variables, x, train=True,
@@ -309,14 +342,15 @@ class CooperativeTripletSolver:
         keeps dropout active during generation's train-mode forwards)."""
         frozen = jax.lax.stop_gradient(params[name])
         frozen_stats = stats[name]
-        if rngs is not None:
-            rngs = {k: jax.random.fold_in(v, zlib.crc32(name.encode()) & 0x7FFFFFFF)
-                    for k, v in rngs.items()}
 
         def fn(z):
+            # resolve per call: the closure runs several trace-time forwards
+            # (saliency pass inside masking + the final decode) and each must
+            # draw its own dropout mask, like torch's per-forward draws
             out, _ = self.modules[name].apply(
                 {"params": frozen, "batch_stats": frozen_stats}, z,
-                train=True, mutable=["batch_stats"], rngs=rngs)
+                train=True, mutable=["batch_stats"],
+                rngs=_resolve_rngs(rngs, name))
             return out
 
         return fn
@@ -330,14 +364,14 @@ class CooperativeTripletSolver:
         perturbed_seg = None
         if latent_da.gen_corrupted_image:
             dec = self._frozen_decoder_fn("image_decoder", params, stats, rngs=rngs)
-            masked_zi = masking.perturb_latent_code(
+            masked_zi, _ = masking.perturb_latent_code(
                 jax.lax.stop_gradient(z_i), dec, clean_image, k_img,
                 _mask_settings(latent_da.image_code), num_classes=self.num_classes)
             perturbed_image = jax.lax.stop_gradient(dec(masked_zi))
         if latent_da.gen_corrupted_seg:
             dec = self._frozen_decoder_fn("segmentation_decoder", params, stats,
                                           rngs=rngs)
-            masked_zs = masking.perturb_latent_code(
+            masked_zs, _ = masking.perturb_latent_code(
                 jax.lax.stop_gradient(z_s), dec, label, k_seg,
                 _mask_settings(latent_da.shape_code), num_classes=self.num_classes)
             perturbed_seg = jax.lax.stop_gradient(dec(masked_zs))
@@ -383,7 +417,7 @@ class CooperativeTripletSolver:
             clean_image = batch["image"]
             label = batch["label"]
             k_noise, k_da, k_drop = jax.random.split(rng, 3)
-            rngs = {"dropout": k_drop} if self.has_dropout else None
+            rngs = _DropoutKeys(k_drop) if self.has_dropout else None
             noise = input_noise_std * jax.random.normal(
                 k_noise, clean_image.shape, clean_image.dtype)
             noised_image = jnp.clip(clean_image + noise, 0.0, 1.0)

@@ -218,3 +218,32 @@ def test_dropout_enabled_training_works(rng):
     _, m2 = step(state, batch, jax.random.PRNGKey(123))
     _, m3 = step(state, batch, jax.random.PRNGKey(456))
     assert float(m2["loss/total"]) != float(m3["loss/total"])
+
+
+def test_dropout_masks_independent_per_forward():
+    """Repeated forwards of ONE submodule within one step must draw
+    independent dropout masks (torch draws per-forward; a name-only key fold
+    would correlate the standard and hard passes' noise — ADVICE r1)."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+        CooperativeTripletSolver,
+        _DropoutKeys,
+    )
+
+    solver = CooperativeTripletSolver(input_hw=(32, 32), decoder_dropout=0.5)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    z = jnp.ones((2, 2, 2, 128))
+
+    def two_decodes(z):
+        stream = _DropoutKeys(jax.random.PRNGKey(7))
+        a, _ = solver.decode_image(state.params, state.batch_stats, z,
+                                   train=True, update=False, rngs=stream)
+        b, _ = solver.decode_image(state.params, state.batch_stats, z,
+                                   train=True, update=False, rngs=stream)
+        return a, b
+
+    a, b = jax.jit(two_decodes)(z)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # and the stream is reproducible: same program, same keys, same outputs
+    a2, b2 = jax.jit(two_decodes)(z)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b2))

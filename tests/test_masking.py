@@ -134,10 +134,31 @@ def test_perturb_latent_code_dispatch(mask_type):
     settings = masking.MaskSettings(loss_name="mse", mask_type=mask_type,
                                     max_threshold=0.5, random_threshold=True,
                                     if_soft=True)
-    out = masking.perturb_latent_code(z, decoder_fn, jnp.zeros_like(z),
-                                      jax.random.PRNGKey(0), settings)
+    out, mask = masking.perturb_latent_code(z, decoder_fn, jnp.zeros_like(z),
+                                            jax.random.PRNGKey(0), settings)
     assert out.shape == z.shape
+    assert mask.shape == z.shape  # reference returns (code, mask) everywhere
     assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(mask)).all()
+
+
+def test_perturb_latent_code_mask_matches_perturbation():
+    """The returned mask must BE the applied perturbation: masked == z*mask
+    (reference returns (code, mask) pairs, advanced...py:300-350)."""
+    rng = np.random.RandomState(7)
+    z = jnp.asarray(rng.rand(2, 4, 4, 8).astype(np.float32) + 0.5)
+    decoder_fn = _linear_decoder(jnp.ones(8))
+    for mask_type in ("channel", "spatial"):
+        settings = masking.MaskSettings(loss_name="mse", mask_type=mask_type,
+                                        max_threshold=0.5,
+                                        random_threshold=False, if_soft=False)
+        out, mask = masking.perturb_latent_code(
+            z, decoder_fn, jnp.zeros_like(z), jax.random.PRNGKey(0), settings)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(z * mask),
+                                   rtol=1e-6)
+        m = np.asarray(mask)
+        assert set(np.unique(m)) <= {0.0, 1.0}
+        assert (m == 0).any() and (m == 1).any()
 
 
 def test_perturb_latent_code_is_jittable():
@@ -148,7 +169,7 @@ def test_perturb_latent_code_is_jittable():
     @jax.jit
     def step(z, key):
         return masking.perturb_latent_code(z, decoder_fn, jnp.zeros_like(z),
-                                           key, settings)
+                                           key, settings)[0]
 
     out1 = step(z, jax.random.PRNGKey(0))
     out2 = step(z, jax.random.PRNGKey(1))
@@ -166,8 +187,8 @@ def test_no_gradient_leak_through_perturbation():
 
     def fn(x):
         z = x * 3.0  # pretend encoder
-        out = masking.perturb_latent_code(z, decoder_fn, jnp.zeros_like(z),
-                                          jax.random.PRNGKey(0), settings)
+        out, _ = masking.perturb_latent_code(z, decoder_fn, jnp.zeros_like(z),
+                                             jax.random.PRNGKey(0), settings)
         return jnp.sum(out)
 
     g = jax.grad(fn)(jnp.ones((1, 4, 4, 8)))
