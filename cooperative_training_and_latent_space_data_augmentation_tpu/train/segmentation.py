@@ -53,7 +53,16 @@ class SegmentationSolver:
     def __init__(self, network_type: str = "UNet_16", image_ch: int = 1,
                  num_classes: int = 4, learning_rate: float = 1e-4,
                  loss_type: str = "cross entropy", use_ema: bool = False,
-                 ema_decay: float = 0.999, compute_dtype=None):
+                 ema_decay: float = 0.999, compute_dtype=None,
+                 optimizer_name: str = "Adam", steps_per_epoch: int = 1,
+                 clip_grad: bool = False):
+        """``optimizer_name`` mirrors the reference registry
+        (base_segmentation_model.set_optmizers:214-223): 'Adam' = plain Adam;
+        'AdaAdam' = Adam + step LR decay (x0.5 every 50 EPOCHS — pass
+        ``steps_per_epoch`` so the per-update count converts to epochs).
+        ``clip_grad`` adds the IGEBM Adam-bound gradient clip
+        (model_util.clip_grad:138-154; defined-but-unused in the reference,
+        exposed here as a working option)."""
         assert network_type in NETWORK_REGISTRY, (
             f"unknown network {network_type}; have {sorted(NETWORK_REGISTRY)}")
         self.network_type = network_type
@@ -64,7 +73,19 @@ class SegmentationSolver:
         self.ema_decay = ema_decay
         self.model = NETWORK_REGISTRY[network_type](num_classes, image_ch,
                                                     dtype=compute_dtype)
-        self.tx = optax.adam(learning_rate)
+        from cooperative_training_and_latent_space_data_augmentation_tpu.utils.schedulers import (
+            make_optimizer,
+        )
+
+        if optimizer_name == "Adam":
+            self.tx = make_optimizer(learning_rate, clip=clip_grad)
+        elif optimizer_name == "AdaAdam":
+            self.tx = make_optimizer(learning_rate, policy="step",
+                                     lr_decay_iters=50, clip=clip_grad,
+                                     steps_per_epoch=steps_per_epoch)
+        else:
+            raise NotImplementedError(
+                f"optimizer {optimizer_name!r}; have Adam | AdaAdam")
 
     def init_state(self, rng: jax.Array, input_hw: Tuple[int, int] = (192, 192)
                    ) -> TrainState:

@@ -159,20 +159,34 @@ def clip_grad_by_adam_bound(beta2: float = 0.999, eps: float = 0.1,
     return optax.GradientTransformation(init, update)
 
 
+EPOCH_WISE_POLICIES = ("lambda", "step", "step2", "step_warmstart",
+                       "step_warmstart2")
+
+
 def make_optimizer(learning_rate, policy: Optional[str] = None,
                    clip: bool = False, inject: bool = False,
+                   steps_per_epoch: int = 1,
                    **sched_kw) -> optax.GradientTransformation:
     """Adam with an optional named LR policy and Adam-bound clipping.
 
     ``inject=True`` exposes ``learning_rate`` as a runtime hyperparameter
     (for the plateau policies); otherwise a schedule (if any) is folded in.
+
+    ``steps_per_epoch`` converts optax's per-UPDATE count to the epoch count
+    the epoch-denominated policies are written in (the reference calls
+    ``scheduler.step()`` once per epoch); it is ignored for the
+    iteration-denominated 'poly'.  Leaving it at 1 with such a policy in a
+    normal training loop would decay ~steps_per_epoch times too fast.
     """
     if policy in ("plateau", "plateau2"):
         inject = True
         policy = None
     if policy is not None:
         sched = make_lr_schedule(policy, **sched_kw)
-        lr = lambda step: learning_rate * sched(step)
+        if policy in EPOCH_WISE_POLICIES:
+            lr = lambda step: learning_rate * sched(step // steps_per_epoch)
+        else:
+            lr = lambda step: learning_rate * sched(step)
     else:
         lr = learning_rate
     base = optax.inject_hyperparams(optax.adam)(learning_rate=lr) if inject \

@@ -43,6 +43,66 @@ def test_train_step_learns():
     np.testing.assert_allclose(np.asarray(pred).sum(-1), 1.0, atol=1e-5)
 
 
+def test_adaadam_optimizer_trains_and_decays():
+    """'AdaAdam' (base_segmentation_model.set_optmizers:214-223) = Adam +
+    step LR decay x0.5 every 50 EPOCHS; steps_per_epoch converts the
+    per-update count to epochs (the reference steps the scheduler per
+    epoch)."""
+    solver = SegmentationSolver("UNet_16", optimizer_name="AdaAdam",
+                                learning_rate=1e-3, steps_per_epoch=2)
+    state = solver.init_state(jax.random.PRNGKey(0), input_hw=(32, 32))
+    step = solver.make_train_step(donate=False)
+    batch = _batch()
+    first = None
+    for i in range(5):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(m["loss/total"])
+    assert float(m["loss/total"]) < first
+    # schedule check: the folded LR halves at epoch 50 = update 100
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.schedulers import (
+        make_optimizer,
+    )
+
+    tx = make_optimizer(1e-3, policy="step", lr_decay_iters=50,
+                        steps_per_epoch=2)
+    params = {"w": jnp.ones(3)}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+
+    def lr_at(count):
+        # drive the inner count to `count`, then measure one update's scale
+        s = opt_state
+        for _ in range(count):
+            _, s = tx.update(g, s, params)
+        upd, _ = tx.update(g, s, params)
+        return float(jnp.abs(upd["w"][0]))
+
+    # Adam's update magnitude under constant grads ~ lr; compare the ratio
+    # across the epoch-50 boundary (updates 100) instead of absolutes,
+    # sampling away from the boundary to dodge optax's count-offset ambiguity
+    assert abs(lr_at(90) / lr_at(110) - 2.0) < 0.2
+
+
+def test_clipped_optimizer_trains():
+    """clip_grad=True (IGEBM Adam-bound clip) must still train."""
+    solver = SegmentationSolver("UNet_16", clip_grad=True, learning_rate=1e-3)
+    state = solver.init_state(jax.random.PRNGKey(0), input_hw=(32, 32))
+    step = solver.make_train_step(donate=False)
+    batch = _batch()
+    first = None
+    for i in range(5):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(m["loss/total"])
+    assert float(m["loss/total"]) < first
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(NotImplementedError):
+        SegmentationSolver("UNet_16", optimizer_name="SGD")
+
+
 def test_evaluate_updates_metric():
     solver = SegmentationSolver("UNet_16")
     state = solver.init_state(jax.random.PRNGKey(0), input_hw=(32, 32))
