@@ -186,27 +186,44 @@ class CooperativeBatcher:
 
 
 class EvalBatcher:
-    """Validation batches: eval transform only (no augmentation)."""
+    """Validation batches: eval transform only (no augmentation).
+
+    Tail batches are PADDED (wrap-tiled) up to ``batch_size`` and carry a
+    ``'real_count'`` int so consumers mask the pad rows out of metric
+    updates: no sample is double-counted, the jitted predict never sees a
+    ragged shape (one compile), and — under a data-parallel ``sharding`` —
+    every batch divides over the mesh instead of the tail failing to shard
+    or running on one device while the rest idle."""
 
     def __init__(self, dataset: SegDatasetBase, batch_size: int,
                  pad_hw=(224, 224), crop_hw=(192, 192), sharding=None):
         self.dataset = dataset
-        # no wrap: a duplicated tail batch would double-count samples in
-        # the validation metrics (the ragged tail costs one extra compile)
+        self.batch_size = batch_size
         self.sampler = BatchSampler(len(dataset), batch_size, shuffle=False,
                                     wrap=False)
         self.eval_transform = make_batch_eval_transform(pad_hw, crop_hw)
         self.sharding = sharding
+        if sharding is not None:
+            n_dev = sharding.mesh.size
+            assert batch_size % n_dev == 0, (
+                f"eval batch_size {batch_size} must divide over the "
+                f"{n_dev}-device mesh")
 
     def __len__(self) -> int:
         return len(self.sampler)
 
     def epoch(self) -> Iterator[Dict[str, jax.Array]]:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+            pad_batch_to_multiple,
+        )
+
         for indices in self.sampler.epoch():
             raw = collate(self.dataset, indices)
+            raw, real_count = pad_batch_to_multiple(raw, self.batch_size)
             img, lbl = self.eval_transform(
                 jax.numpy.asarray(raw["image"]), jax.numpy.asarray(raw["label"]))
             batch = {"image": img, "label": lbl}
             if self.sharding is not None:
                 batch = jax.device_put(batch, self.sharding)
+            batch["real_count"] = real_count  # plain int; added post-device_put
             yield batch

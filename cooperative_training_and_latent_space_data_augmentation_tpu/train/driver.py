@@ -70,9 +70,11 @@ def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatche
         predict_fn = solver.make_predict(n_iter=n_iter)
     last = None
     for batch in eval_batcher.epoch():
+        real = batch.get("real_count", batch["image"].shape[0])
         pred = predict_fn(state.params, state.batch_stats, batch["image"])
         pred_lbl = jnp.argmax(pred, axis=-1)
-        running.update(batch["label"], pred_lbl)
+        # drop wrap-pad rows so tail samples are counted exactly once
+        running.update(batch["label"][:real], pred_lbl[:real])
         last = (batch, pred_lbl)
     score, _ = running.get_scores()
     return float(score["Mean IoU : \t"]), float(score["Mean Acc : \t"]), last
@@ -88,13 +90,35 @@ def train_network(experiment_name: str,
                   seed: int = 42,
                   resume_pkl_path: Optional[str] = None,
                   mesh=None,
-                  max_epochs: Optional[int] = None):
-    """Full training loop.  Returns (state, best_score, last_epoch)."""
+                  max_epochs: Optional[int] = None,
+                  use_orbax: bool = True,
+                  resume_orbax: bool = False):
+    """Full training loop.  Returns (state, best_score, last_epoch).
+
+    Checkpoint formats: per-module msgpack under {model_dir}/{best|epoch}/
+    (reference-parity layout consumed by cli/test.py) + monolithic pkl crash
+    snapshots, PLUS — when ``use_orbax`` — an orbax checkpoint of the whole
+    train-state pytree under {model_dir}/orbax at every periodic save (the
+    TPU-native production format: restores under any device/sharding
+    topology).  ``resume_orbax=True`` restores the latest orbax step instead
+    of a pkl snapshot."""
     learning = cfg.learning
     data_cfg = cfg.data
     state = solver.init_state(jax.random.PRNGKey(seed))
     start_epoch = 0
-    if resume_pkl_path:
+    orbax_dir = join(model_dir, "orbax")
+    if resume_orbax:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        step = latest_step(orbax_dir)
+        if step is None:
+            raise FileNotFoundError(f"resume_orbax: no checkpoints in {orbax_dir}")
+        state = restore_checkpoint(orbax_dir, state, step=step)
+        start_epoch = step + 1
+    elif resume_pkl_path:
         state, start_epoch = solver.load_snapshots(state, resume_pkl_path)
 
     latent_da = cfg.latent_DA if learning.latent_DA else None
@@ -132,8 +156,11 @@ def train_network(experiment_name: str,
         raise ValueError(
             "training set is empty (0 batches) — check the data root/split; "
             "refusing to silently 'train' nothing")
+    # validation shards over the same mesh as training (pad rows are masked
+    # out of the confusion update via each batch's real_count)
     eval_batcher = EvalBatcher(validate_set, batch_size=learning.batch_size,
-                               pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw)
+                               pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw,
+                               sharding=batch_sharding_spec)
 
     logger = ScalarLogger(log_dir if log else None, purge_step=start_epoch)
     rng = jax.random.PRNGKey(seed + 1)
@@ -197,6 +224,12 @@ def train_network(experiment_name: str,
                     or i_epoch == 0:
                 solver.save_model(state, model_dir, epoch_iter=i_epoch)
                 _dump_images(i_epoch)
+                if use_orbax:
+                    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
+                        save_checkpoint,
+                    )
+
+                    save_checkpoint(orbax_dir, state, step=i_epoch)
             if stop_flag:
                 break
         if log and log_dir:

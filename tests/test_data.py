@@ -188,6 +188,13 @@ def test_loader_batching():
     ev = EvalBatcher(ds, batch_size=5, pad_hw=(64, 64), crop_hw=(48, 48))
     eb = next(iter(ev.epoch()))
     assert eb["image"].shape == (5, 48, 48, 1)
+    assert eb["real_count"] == 5
+    # ragged tail: wrap-padded to the full batch (static shape, ONE predict
+    # compile) with real_count marking the rows that count toward metrics
+    ev7 = EvalBatcher(SyntheticSegDataset(length=7, pad_size=(64, 64)),
+                      batch_size=5, pad_hw=(64, 64), crop_hw=(48, 48))
+    shapes = [(b["image"].shape[0], b["real_count"]) for b in ev7.epoch()]
+    assert shapes == [(5, 5), (5, 2)]
 
 
 # ---------------------------------------------------------------- prostate

@@ -80,3 +80,50 @@ def test_pad_batch_shortfall_larger_than_n():
     batch = {"image": np.ones((3, 4, 4, 1)), "label": np.zeros((3, 4, 4))}
     padded, real = pad_batch_to_multiple(batch, 8)
     assert padded["image"].shape[0] == 8 and real == 3
+
+
+def test_sharded_eval_matches_unsharded():
+    """EvalBatcher under a data-parallel sharding: every batch (incl. the
+    wrap-padded tail) divides over the 8-device mesh, pad rows are masked
+    out via real_count, and the IoU matches the unsharded eval exactly."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        EvalBatcher,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.driver import (
+        eval_model,
+    )
+
+    mesh = make_mesh()
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1, input_hw=(32, 32))
+    state = solver.init_state(jax.random.PRNGKey(0))
+
+    # 11 samples, batch 8 -> tail of 3 wrap-padded to 8 (real_count 3)
+    ds = SyntheticSegDataset(length=11, pad_size=(32, 32))
+    sharded_batcher = EvalBatcher(ds, batch_size=8, pad_hw=(32, 32),
+                                  crop_hw=(32, 32), sharding=batch_sharding(mesh))
+    plain_batcher = EvalBatcher(ds, batch_size=8, pad_hw=(32, 32),
+                                crop_hw=(32, 32))
+    tails = [b["real_count"] for b in sharded_batcher.epoch()]
+    assert tails == [8, 3]
+    iou_s, acc_s, _ = eval_model(solver, state, sharded_batcher, n_iter=2)
+    iou_p, acc_p, _ = eval_model(solver, state, plain_batcher, n_iter=2)
+    np.testing.assert_allclose(iou_s, iou_p, rtol=1e-6)
+    np.testing.assert_allclose(acc_s, acc_p, rtol=1e-6)
+
+
+def test_eval_batcher_indivisible_batch_rejected():
+    mesh = make_mesh()
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        EvalBatcher,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+
+    with pytest.raises(AssertionError):
+        EvalBatcher(SyntheticSegDataset(length=10, pad_size=(32, 32)),
+                    batch_size=6, pad_hw=(32, 32), crop_hw=(32, 32),
+                    sharding=batch_sharding(mesh))
