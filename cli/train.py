@@ -60,6 +60,12 @@ def parse_args():
     p.add_argument("--log", action="store_true")
     p.add_argument("--seed", type=int, default=40)
     p.add_argument("--resume_pkl_path", type=str, default=None)
+    p.add_argument("--resume_orbax", action="store_true",
+                   help="resume from the latest orbax step under "
+                        "{model_dir}/orbax instead of a pkl snapshot")
+    p.add_argument("--no_orbax", action="store_true",
+                   help="skip the orbax train-state checkpoint at periodic "
+                        "saves (msgpack/pkl reference formats still written)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic phantom dataset (CPU-runnable smoke)")
     p.add_argument("--max_epochs", type=int, default=None)
@@ -128,7 +134,8 @@ def main():
         train_set=train_set, validate_set=val_set, solver=solver, cfg=cfg,
         model_dir=model_dir, log_dir=log_dir, log=args.log, seed=args.seed,
         resume_pkl_path=args.resume_pkl_path, mesh=mesh,
-        max_epochs=args.max_epochs)
+        max_epochs=args.max_epochs, use_orbax=not args.no_orbax,
+        resume_orbax=args.resume_orbax)
     print(f"done: best val Mean IoU {best:.4f} at epoch <= {last_epoch}")
 
 

@@ -73,3 +73,25 @@ def test_full_training_loop_and_eval(tmp_path):
     state2, epoch2 = solver.load_snapshots(solver.init_state(jax.random.PRNGKey(9)),
                                            snap)
     assert epoch2 == last_epoch
+
+    # orbax train-state checkpoint written at the periodic save (epoch 0)
+    # and resumable: params round-trip exactly and training continues
+    orbax_dir = os.path.join(model_dir, "orbax")
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+    )
+
+    assert latest_step(orbax_dir) == last_epoch  # saved every epoch here
+    template = solver.init_state(jax.random.PRNGKey(11))
+    restored = restore_checkpoint(orbax_dir, template)
+    assert int(restored.step) > 0  # checkpointed state had taken update steps
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    state3, best3, last3 = train_network(
+        "e2e-orbax-resume", train_set, val_set, solver, cfg,
+        model_dir=model_dir, log_dir=log_dir, log=False, seed=0,
+        resume_orbax=True)
+    # resumed PAST the completed epochs (start = latest step + 1 = n_epochs)
+    assert last3 == last_epoch + 1
