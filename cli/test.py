@@ -5,11 +5,20 @@ trained cooperative model per cval, evaluates patient-wise Dice (optionally
 HD/ASD) on {ACDC test, M&Ms, ACDC-C RandomBias/RandomSpike/RandomGhosting/
 RandomMotion}, and writes summary/detailed CSVs per dataset.
 
-Usage:
+Usage (single checkpoint):
     python cli/test.py --checkpoint saved/.../model/best/checkpoints \
         --acdc_root /data/ACDC --mm_root /data/MM --acdc_c_root /data/ACDC-C \
         --cval 0 --n_iter 2 --save_dir results/
     python cli/test.py --synthetic --checkpoint ...   # smoke without data
+
+Usage (the reference's full results table — methods x cvals x datasets,
+test_ACDC_triplet_segmentation.py:115-158 — from one command):
+    python cli/test.py \
+        --checkpoint_template 'saved/train_ACDC_10_n_cls_4/ACDC/{method}/{cval}/model/best/checkpoints' \
+        --methods standard_training cooperative_training --cvals 0 1 2 \
+        --acdc_root ... --mm_root ... --acdc_c_root ... --save_dir results/
+    -> per-run CSVs under results/{method}/cv{cval}/{dataset}/ plus
+       results/aggregated.csv (mean±std across cvals per dataset x method).
 """
 
 from __future__ import annotations
@@ -42,6 +51,7 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic 
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.eval.tester import (
     evaluate_cross_domain,
+    evaluate_methods_across_cvals,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
     CooperativeTripletSolver,
@@ -53,6 +63,12 @@ CORRUPTION_NAMES = ("RandomBias", "RandomSpike", "RandomGhosting", "RandomMotion
 def parse_args():
     p = argparse.ArgumentParser("cross-domain segmentation evaluation (TPU)")
     p.add_argument("--checkpoint", type=str, required=False, default=None)
+    p.add_argument("--checkpoint_template", type=str, default=None,
+                   help="path template with {method}/{cval} placeholders; "
+                        "enables the methods x cvals aggregation loop")
+    p.add_argument("--methods", nargs="+",
+                   default=["standard_training", "cooperative_training"])
+    p.add_argument("--cvals", nargs="+", type=int, default=[0, 1, 2])
     p.add_argument("--network_type", type=str, default="FCN_16_standard")
     p.add_argument("--num_classes", type=int, default=4)
     p.add_argument("--n_iter", type=int, default=2,
@@ -71,7 +87,7 @@ def parse_args():
     return p.parse_args()
 
 
-def build_datasets(args):
+def build_datasets(args, cval: int):
     datasets = {}
     if args.synthetic:
         datasets["synthetic"] = SyntheticSegDataset(length=10)
@@ -79,7 +95,7 @@ def build_datasets(args):
     if args.acdc_root:
         per_frame = [CardiacACDCDataset(
             root_dir=args.acdc_root, frame=f, split="test",
-            data_setting=args.data_setting, cval=args.cval)
+            data_setting=args.data_setting, cval=cval)
             for f in args.frames]
         datasets["ACDC"] = ConcatDataset(per_frame)
     if args.mm_root:
@@ -115,15 +131,45 @@ def main():
     solver = CooperativeTripletSolver(
         network_type=args.network_type, num_classes=args.num_classes,
         n_iter=args.n_iter)
-    state = solver.init_state(jax.random.PRNGKey(0))
+    base_state = solver.init_state(jax.random.PRNGKey(0))
+    predict = solver.make_predict(n_iter=args.n_iter)
+
+    if args.checkpoint_template:
+        # reference full-results loop: methods x cvals x datasets with one
+        # aggregated table (test_ACDC_triplet_segmentation.py:115-158)
+        def make_predict_fn(method, cval):
+            ckpt = args.checkpoint_template.format(method=method, cval=cval)
+            if not os.path.isdir(ckpt):
+                print(f"{method}:{ckpt} not found. ")  # ref prints & skips
+                return None
+            state = solver.load_model(base_state, ckpt)
+
+            def fn(images, _state=state):
+                return predict(_state.params, _state.batch_stats, images)
+
+            return fn
+
+        per_run, aggregated = evaluate_methods_across_cvals(
+            make_predict_fn, lambda cval: build_datasets(args, cval),
+            methods=args.methods, cvals=args.cvals, save_dir=args.save_dir,
+            num_classes=args.num_classes, metrics_list=args.metrics)
+        if aggregated is None:
+            raise SystemExit("no (method, cval) runs were evaluated — check "
+                             "--checkpoint_template and data roots")
+        import pandas as pd
+
+        with pd.option_context("display.max_rows", None):
+            print(aggregated)
+        return
+
+    state = base_state
     if args.checkpoint:
         state = solver.load_model(state, args.checkpoint)
-    predict = solver.make_predict(n_iter=args.n_iter)
 
     def predict_fn(images):
         return predict(state.params, state.batch_stats, images)
 
-    datasets = build_datasets(args)
+    datasets = build_datasets(args, args.cval)
     if not datasets:
         raise SystemExit("no datasets specified; pass --acdc_root/--mm_root/"
                          "--acdc_c_root or --synthetic")

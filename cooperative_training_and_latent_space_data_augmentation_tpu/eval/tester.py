@@ -141,6 +141,76 @@ class TestSegmentationNetwork:
         return paths
 
 
+def evaluate_methods_across_cvals(
+        make_predict_fn: Callable,
+        dataset_builder: Callable,
+        methods: Sequence[str],
+        cvals: Sequence[int],
+        save_dir: Optional[str] = None,
+        crop_size: Tuple[int, int] = (192, 192),
+        num_classes: int = 4,
+        metrics_list: Sequence[str] = ("Dice",)):
+    """The reference's full results loop
+    (test_ACDC_triplet_segmentation.py:115-158): methods x cvals x datasets.
+
+    ``make_predict_fn(method, cval)`` returns a volume predict function (or
+    None to skip, e.g. missing checkpoint — the reference prints-and-
+    continues, :137-139); ``dataset_builder(cval)`` returns the
+    {name: dataset} registry for that fold (the ACDC test split depends on
+    cval only through the data-setting policy; corruption/MM sets do not).
+
+    Returns ``(per_run, aggregated_df)``: per_run maps (method, cval,
+    dataset) -> summary dict (each run also writes its own summary/detail
+    CSVs under {save_dir}/{method}/cv{cval}/{dataset}/), and aggregated_df
+    is the tidy mean±std table across cvals per (dataset, method, metric) —
+    the reference's aggregated pandas frame, plus cross-cval dispersion.
+    """
+    per_run: Dict[Tuple[str, int, str], Dict] = {}
+    for cval in cvals:
+        predicts = {}
+        for method in methods:
+            fn = make_predict_fn(method, cval)
+            if fn is None:
+                print(f"{method}: cval {cval} unavailable, skipped")
+                continue
+            predicts[method] = fn
+        if not predicts:
+            continue
+        datasets = dataset_builder(cval)
+        for method, predict_fn in predicts.items():
+            sub = join(save_dir, method, f"cv{cval}") if save_dir else None
+            results = evaluate_cross_domain(
+                predict_fn, datasets, save_dir=sub, crop_size=crop_size,
+                num_classes=num_classes, metrics_list=metrics_list)
+            for ds_name, summary in results.items():
+                per_run[(method, cval, ds_name)] = summary
+    aggregated = aggregate_across_cvals(per_run)
+    if save_dir is not None and aggregated is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        aggregated.to_csv(join(save_dir, "aggregated.csv"), index=False)
+    return per_run, aggregated
+
+
+def aggregate_across_cvals(per_run: Dict[Tuple[str, int, str], Dict]):
+    """Aggregate {(method, cval, dataset) -> summary} into the tidy
+    mean±std-across-cvals table (one row per dataset x method x metric)."""
+    import pandas as pd
+
+    rows = []
+    for (method, cval, ds_name), summary in per_run.items():
+        for key, value in summary.items():
+            if key.endswith("_mean"):
+                rows.append({"dataset": ds_name, "method": method,
+                             "cval": cval, "metric": key[:-len("_mean")],
+                             "value": value})
+    if not rows:
+        return None
+    df = pd.DataFrame(rows)
+    agg = (df.groupby(["dataset", "method", "metric"])["value"]
+           .agg(mean="mean", std="std", n_cvals="count").reset_index())
+    return agg
+
+
 def evaluate_cross_domain(predict_fn: Callable, datasets: Dict[str, object],
                           save_dir: Optional[str] = None,
                           crop_size: Tuple[int, int] = (192, 192),

@@ -78,6 +78,48 @@ def test_cross_domain_driver(tmp_path):
         assert (tmp_path / name / "summary.csv").exists()
 
 
+def test_methods_across_cvals_aggregation(tmp_path):
+    """The reference's full results loop (test_ACDC_triplet_segmentation.py
+    :115-158): methods x cvals x datasets with per-run CSVs and one
+    aggregated mean±std table across cvals."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.eval.tester import (
+        evaluate_methods_across_cvals,
+    )
+
+    def make_predict_fn(method, cval):
+        if method == "missing_method":
+            return None  # checkpoint-not-found path: print & skip
+        return _oracle_predict
+
+    def dataset_builder(cval):
+        return {"domainA": SyntheticSegDataset(
+            length=4, n_patients=1, slices_per_patient=3, pad_size=(64, 64),
+            seed=cval)}
+
+    per_run, agg = evaluate_methods_across_cvals(
+        make_predict_fn, dataset_builder,
+        methods=["oracle", "missing_method"], cvals=[0, 1],
+        save_dir=str(tmp_path), crop_size=(48, 48))
+    assert set(per_run) == {("oracle", 0, "domainA"), ("oracle", 1, "domainA")}
+    assert (tmp_path / "oracle" / "cv0" / "domainA" / "summary.csv").exists()
+    assert (tmp_path / "oracle" / "cv1" / "domainA" / "summary.csv").exists()
+    assert (tmp_path / "aggregated.csv").exists()
+    row = agg[(agg.dataset == "domainA") & (agg.metric == "LV_Dice")]
+    assert len(row) == 1 and int(row.n_cvals.iloc[0]) == 2
+    # cross-cval mean of per-run means, and a finite dispersion
+    vals = [per_run[("oracle", c, "domainA")]["LV_Dice_mean"] for c in (0, 1)]
+    np.testing.assert_allclose(row["mean"].iloc[0], np.mean(vals), rtol=1e-9)
+    np.testing.assert_allclose(row["std"].iloc[0], np.std(vals, ddof=1), rtol=1e-9)
+
+
+def test_aggregate_across_cvals_empty():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.eval.tester import (
+        aggregate_across_cvals,
+    )
+
+    assert aggregate_across_cvals({}) is None
+
+
 def test_save_top_k_result(tmp_path):
     import os
 
