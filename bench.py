@@ -87,6 +87,19 @@ def main():
     if n_devices > 1:
         data = shard_batch(mesh, data)
 
+    # XLA's own cost analysis of the full fused step (for the self-
+    # substantiating TFLOP/s + MFU keys below).  Lowering/compiling here
+    # also doubles as the compile warmup (same jit cache).
+    flops = float("nan")
+    try:
+        compiled = step.lower(state, data, rng).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        pass
+
     # warmup / compile
     for i in range(3):
         rng, k = jax.random.split(rng)
@@ -108,12 +121,30 @@ def main():
 
     slices_per_sec = batch * n_steps / best_dt
     per_chip = slices_per_sec / n_devices
-    print(json.dumps({
+    out = {
         "metric": "ACDC cooperative-training slices/sec/chip (batch 20, 192x192, latent_DA on)",
         "value": round(per_chip, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(per_chip / NOMINAL_BASELINE_SLICES_PER_SEC, 3),
-    }))
+    }
+    # measured roofline keys (makes the MXU-bound claim reproducible from
+    # the bench itself).  XLA 'flops' is the LOGICAL op count — it includes
+    # the remat recompute and is fusion-inflated — so the roofline ratio can
+    # exceed 1.0; true MFU is below it (a ratio near/above 1 still certifies
+    # the step is compute-bound, not stalled on HBM or dispatch).
+    step_s = best_dt / n_steps
+    out["step_time_ms"] = round(1e3 * step_s, 3)
+    if flops == flops:  # not NaN
+        achieved = flops / step_s / n_devices
+        out["xla_logical_tflops_per_s_per_chip"] = round(achieved / 1e12, 2)
+        if jax.default_backend() == "tpu":
+            from cooperative_training_and_latent_space_data_augmentation_tpu.utils.profiling import (
+                V5E_PEAK_FLOPS_BF16,
+            )
+
+            out["mxu_roofline_ratio_logical"] = round(
+                achieved / V5E_PEAK_FLOPS_BF16, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
