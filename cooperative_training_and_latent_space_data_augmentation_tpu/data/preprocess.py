@@ -52,6 +52,31 @@ def resample_by_spacing(array_zyx: np.ndarray, spacing_xyz: Sequence[float],
                         mode="nearest", grid_mode=False)
 
 
+def resample_by_shape(array_zyx: np.ndarray, spacing_xyz: Sequence[float],
+                      new_shape_zyx: Sequence[int],
+                      new_spacing_xyz: Sequence[float],
+                      order: int = 1) -> np.ndarray:
+    """Resample onto an explicit (shape, spacing) output grid
+    (affine_transform.resample_by_shape:83-94: sitk.Resample with an identity
+    affine — output index i samples input at i * new_spacing / old_spacing,
+    corner-aligned at the shared origin)."""
+    scale = [float(new_spacing_xyz[2 - a]) / float(spacing_xyz[2 - a])
+             for a in range(3)]  # zyx axis a <- xyz component 2-a
+    return ndimage.affine_transform(
+        array_zyx, np.diag(scale), output_shape=tuple(int(s) for s in new_shape_zyx),
+        order=order, mode="constant", cval=0.0)
+
+
+def resample_by_ref(array_zyx: np.ndarray, spacing_xyz: Sequence[float],
+                    ref_shape_zyx: Sequence[int],
+                    ref_spacing_xyz: Sequence[float],
+                    order: int = 1) -> np.ndarray:
+    """Resample onto a reference volume's grid
+    (affine_transform.resample_by_ref:96-106)."""
+    return resample_by_shape(array_zyx, spacing_xyz, ref_shape_zyx,
+                             ref_spacing_xyz, order=order)
+
+
 def swap_labels_acdc(label: np.ndarray) -> np.ndarray:
     """Swap RV<->LV labels 3<->1 (acdc_preprocess.py:135-137); raw ACDC has
     {1: RV, 2: MYO, 3: LV}, the pipeline standardizes to {1: LV, 3: RV}."""

@@ -29,10 +29,16 @@ PROSTATE_VOXELSPACING = (0.625, 0.625, 3.6)
 
 def get_prostate_split_policy(root_dir: str, identifier: str, cval: int
                               ) -> Dict[str, List[str]]:
-    """Exact reference split (prostate_Decathlon_dataset.get_pid_list:173-228):
+    """Reference split policy (prostate_Decathlon_dataset.get_pid_list:173-228):
     fixed test hold-out, 10% val via train_test_split(random_state=cval-1),
     labelled = first half of train, few-shot subsets via
-    train_test_split(random_state=cval)."""
+    train_test_split(random_state=cval).
+
+    Deviation: the reference feeds raw ``sorted(os.listdir)`` (:175) into
+    train_test_split; we filter to directories.  On the preprocessed
+    per-patient-dir roots the reference ran on, the two agree exactly; on a
+    root containing stray files (e.g. a Decathlon dataset.json) the raw
+    listing would silently perturb every split, so the filter is kept."""
     assert cval >= 1, "cval must be >= 1"
     # only patient DIRECTORIES: Decathlon roots carry dataset.json etc., and
     # a stray file in the raw listdir would silently perturb every split.
