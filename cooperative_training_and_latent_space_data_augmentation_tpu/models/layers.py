@@ -26,9 +26,10 @@ class ChannelSELayer(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         squeeze = jnp.mean(x, axis=(1, 2))  # N, C
-        h = nn.Dense(c // self.reduction_ratio, dtype=x.dtype)(squeeze)
+        # bias-free excitation MLP like the reference (nn.Linear(bias=False))
+        h = nn.Dense(c // self.reduction_ratio, use_bias=False, dtype=x.dtype)(squeeze)
         h = nn.relu(h)
-        h = nn.Dense(c, dtype=x.dtype)(h)
+        h = nn.Dense(c, use_bias=False, dtype=x.dtype)(h)
         gate = nn.sigmoid(h)[:, None, None, :]
         return x * gate
 
@@ -58,7 +59,7 @@ class SelfAttention(nn.Module):
     """SAGAN-style 2-D self-attention (custom_layers.py:159-210).
 
     Flattens HxW into one token axis — maps to a single big MXU matmul.
-    Returns (out, attention) like the reference.
+    Returns (out, weighted_out, attention) like the reference's 3-tuple.
     """
 
     @nn.compact
@@ -72,7 +73,8 @@ class SelfAttention(nn.Module):
         ).astype(x.dtype)
         out = jnp.einsum("nqk,nkc->nqc", attn, v).reshape(n, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, ())
-        return gamma * out + x, attn
+        weighted = gamma * out
+        return weighted + x, weighted, attn
 
 
 class DomainSpecificBatchNorm(nn.Module):
@@ -107,8 +109,10 @@ class BatchInstanceNorm(nn.Module):
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, use_bias=False, use_scale=False,
                           dtype=x.dtype)(x)
+        # epsilon 1e-5 to match the torch reference's F.batch_norm-based
+        # instance arm (flax GroupNorm defaults to 1e-6)
         inm = nn.GroupNorm(num_groups=x.shape[-1], use_bias=False, use_scale=False,
-                           dtype=x.dtype)(x)
+                           epsilon=1e-5, dtype=x.dtype)(x)
         rho = self.param("rho", nn.initializers.ones, (x.shape[-1],))
         rho = jnp.clip(rho, 0.0, 1.0)
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
@@ -146,23 +150,32 @@ def bilinear_additive_upsampling(x, to_channel: int):
 
 
 def spatial_pyramid_pool(x, out_bin_sizes=(4, 2, 1)):
-    """SPP over NHWC (custom_layers.py:348-374): concat of adaptive max-pools.
-
-    Exact torch AdaptiveMaxPool2d semantics — EXACTLY ``size x size`` bins per
-    level with boundaries floor(i*n/s)..ceil((i+1)*n/s), so the feature length
-    is input-size-independent (a floor-divide window would emit a varying
-    number of bins for non-divisible H/W)."""
+    """SPP over NHWC with the reference's EXACT pooling arithmetic
+    (custom_layers.py:348-374): per level, a MaxPool2d with ceil(h/s) windows,
+    stride = window, and padding (k*s - h + 1)//2 (torch pads max-pool with
+    -inf, here realized by clipping each window to the valid region).  For
+    divisible sizes this equals AdaptiveMaxPool2d; for non-divisible sizes it
+    reproduces the reference's shifted windows.  Features are flattened
+    channel-major like the torch NCHW .view(n, -1)."""
     n, h, w, c = x.shape
     feats = []
     for size in out_bin_sizes:
+        k_h = -(-h // size)
+        k_w = -(-w // size)
+        pad_h = (k_h * size - h + 1) // 2
+        pad_w = (k_w * size - w + 1) // 2
+        bins_h = (h + 2 * pad_h - k_h) // k_h + 1
+        bins_w = (w + 2 * pad_w - k_w) // k_w + 1
         rows = []
-        for i in range(size):
-            y0, y1 = (i * h) // size, -(-((i + 1) * h) // size)
+        for i in range(bins_h):
+            y0 = max(i * k_h - pad_h, 0)
+            y1 = min(i * k_h - pad_h + k_h, h)
             cols = []
-            for j in range(size):
-                x0, x1 = (j * w) // size, -(-((j + 1) * w) // size)
+            for j in range(bins_w):
+                x0 = max(j * k_w - pad_w, 0)
+                x1 = min(j * k_w - pad_w + k_w, w)
                 cols.append(jnp.max(x[:, y0:y1, x0:x1, :], axis=(1, 2)))
-            rows.append(jnp.stack(cols, axis=1))       # (n, size, c)
-        pooled = jnp.stack(rows, axis=1)               # (n, size, size, c)
-        feats.append(pooled.reshape(n, -1))
+            rows.append(jnp.stack(cols, axis=1))       # (n, bins_w, c)
+        pooled = jnp.stack(rows, axis=1)               # (n, bins_h, bins_w, c)
+        feats.append(jnp.transpose(pooled, (0, 3, 1, 2)).reshape(n, -1))
     return jnp.concatenate(feats, axis=1)

@@ -140,8 +140,9 @@ def test_layers_smoke():
         assert y.shape == x.shape
     attn = SelfAttention()
     variables = attn.init(jax.random.PRNGKey(0), x)
-    y, a = attn.apply(variables, x)
-    assert y.shape == x.shape and a.shape == (2, 256, 256)
+    y, w, a = attn.apply(variables, x)  # (final, weighted_out, attention)
+    assert y.shape == x.shape and w.shape == x.shape
+    assert a.shape == (2, 256, 256)
 
 
 def test_unet3d_parts():
@@ -200,21 +201,33 @@ def test_unet_dropout_wired():
 
 
 def test_spatial_pyramid_pool_exact_bins():
+    """Exact reference arithmetic (custom_layers.spatial_pyramid_pool:348-374):
+    ceil-window MaxPool2d with computed padding, channel-major flatten.
+    Checked on BOTH a divisible size (where it equals AdaptiveMaxPool2d) and
+    a non-divisible size (where the reference's shifted windows differ)."""
     from cooperative_training_and_latent_space_data_augmentation_tpu.models.layers import (
         spatial_pyramid_pool,
     )
+    import math
+
     import torch
 
-    x = np.random.RandomState(0).rand(2, 10, 10, 3).astype(np.float32)
-    out = np.asarray(spatial_pyramid_pool(jnp.asarray(x), (4, 2, 1)))
-    assert out.shape == (2, (16 + 4 + 1) * 3)
-    # parity with torch AdaptiveMaxPool2d
-    xt = torch.tensor(np.moveaxis(x, -1, 1))
-    ref = []
-    for s in (4, 2, 1):
-        p = torch.nn.AdaptiveMaxPool2d(s)(xt)  # N,C,s,s
-        ref.append(np.moveaxis(p.numpy(), 1, -1).reshape(2, -1))
-    np.testing.assert_allclose(out, np.concatenate(ref, axis=1), rtol=1e-6)
+    def torch_ref(x_nhwc, bins):
+        xt = torch.tensor(np.moveaxis(x_nhwc, -1, 1))
+        h, w = x_nhwc.shape[1], x_nhwc.shape[2]
+        outs = []
+        for s in bins:
+            k_h, k_w = math.ceil(h / s), math.ceil(w / s)
+            pad = ((k_h * s - h + 1) // 2, (k_w * s - w + 1) // 2)
+            p = torch.nn.MaxPool2d((k_h, k_w), stride=(k_h, k_w), padding=pad)(xt)
+            outs.append(p.reshape(x_nhwc.shape[0], -1).numpy())
+        return np.concatenate(outs, axis=1)
+
+    for hw in (8, 10):  # divisible and non-divisible by 4
+        x = np.random.RandomState(0).rand(2, hw, hw, 3).astype(np.float32)
+        out = np.asarray(spatial_pyramid_pool(jnp.asarray(x), (4, 2, 1)))
+        assert out.shape == (2, (16 + 4 + 1) * 3)
+        np.testing.assert_allclose(out, torch_ref(x, (4, 2, 1)), rtol=1e-6)
 
 
 def test_upsample_bilinear_align_corners_parity():

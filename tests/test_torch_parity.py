@@ -30,6 +30,9 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/reference")
+# resconvunet.py carries the reference's stale `from models...` import
+# (resconvunet.py:7, SURVEY C7 note) — needs the medseg dir on the path too
+sys.path.insert(0, "/root/reference/medseg")
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
@@ -479,3 +482,65 @@ def test_dsunet_parity():
     variables = transplant(fm, tm, x, dsunet_vars, train=False)
     mut = check_forward(fm, tm, variables, x, atol=2e-4)
     check_bn_buffers(tm, mut, dsunet_vars)
+
+
+def test_unetv2_parity():
+    from medseg.models.segmentation_models.unet import UNetv2 as TorchUNetv2
+
+    tm = TorchUNetv2(input_channel=1, num_classes=4, feature_scale=4)
+    # reference bug: UNetv2.forward reads self.self_attention which __init__
+    # never sets (unet.py:357; an AttributeError on any forward).  Setting it
+    # False makes forward identical to the working .predict() path — we test
+    # the intended capability, not the crash (SURVEY C7 note).
+    tm.self_attention = False
+    fm = unet_mod.UNetv2(num_classes=4, feature_scale=4)
+    x = rand_img(2, 64, 64, 1)
+    # same part classes as UNet (inconv/down/up/outconv) -> same converter
+    variables = transplant(fm, tm, x, unet_vars, train=False)
+    mut = check_forward(fm, tm, variables, x, atol=2e-4)
+    check_bn_buffers(tm, mut, unet_vars)
+
+
+def res_block_vars(sd, prefix):
+    """torch res_conv / res_convdown / res_conv_up body (conv_input 1x1 +
+    conv.{0,1,3,4}) -> flax ResBlock (SNConv_0 shortcut, SNConv_1, Norm_0,
+    SNConv_2, Norm_1)."""
+    params = {
+        "SNConv_0": {"Conv_0": conv_p(sd, f"{prefix}conv_input")},
+        "SNConv_1": {"Conv_0": conv_p(sd, f"{prefix}conv.0")},
+        "Norm_0": {"BatchNorm_0": bn_p(sd, f"{prefix}conv.1")},
+        "SNConv_2": {"Conv_0": conv_p(sd, f"{prefix}conv.3")},
+        "Norm_1": {"BatchNorm_0": bn_p(sd, f"{prefix}conv.4")},
+    }
+    stats = {
+        "Norm_0": {"BatchNorm_0": bn_s(sd, f"{prefix}conv.1")},
+        "Norm_1": {"BatchNorm_0": bn_s(sd, f"{prefix}conv.4")},
+    }
+    return params, stats
+
+
+def resconvunet_vars(sd):
+    params, stats = {}, {}
+    blocks = ["inc."] + [f"down{i}." for i in range(1, 5)] \
+        + [f"up{i}." for i in range(1, 5)]
+    for i, b in enumerate(blocks):
+        p, s = res_block_vars(sd, b)
+        params[f"ResBlock_{i}"] = p
+        stats[f"ResBlock_{i}"] = s
+    for i in range(4):
+        params[f"ConvTranspose_{i}"] = convt_p(sd, f"up{i + 1}.mpconv.0")
+    params["Conv_0"] = conv_p(sd, "outc.conv")
+    return params, stats
+
+
+def test_resconvunet_parity():
+    from medseg.models.segmentation_models.resconvunet import (
+        ResConvUNet as TorchResConvUNet,
+    )
+
+    tm = TorchResConvUNet(input_channel=1, num_classes=4, feature_scale=4)
+    fm = unet_mod.ResConvUNet(num_classes=4, feature_scale=4)
+    x = rand_img(2, 64, 64, 1)
+    variables = transplant(fm, tm, x, resconvunet_vars, train=False)
+    mut = check_forward(fm, tm, variables, x, atol=2e-4)
+    check_bn_buffers(tm, mut, resconvunet_vars)
