@@ -26,10 +26,12 @@ center crop -> percentile min-max normalize):
     MyRandomChoiceRotate (45-degree group) + MyElasticTransform (Simard dense
     field: alpha=H*U(1.5,2), sigma=H*U(0.1,0.2)*0.75) + coarse 3x3 N(0,10)
     grid (elastic_transform.py:16-172).  The reference resamples 2-4 times
-    with order-3 splines; we compose all geometry into ONE bilinear gather
-    (labels: one-hot warp + argmax, mirroring the per-class warping at
-    elastic_transform.py:86-96).  A known fidelity gap vs order-3 — validated
-    distributionally (final Dice), per SURVEY "Hard parts".
+    with order-3 splines; we compose all geometry into ONE order-3 cubic
+    B-spline gather (scipy-parity sampling via ops/spline.py; labels:
+    per-class warp with the reference's >=0.5 ascending overwrite,
+    elastic_transform.py:86-96).  Single-composition vs sequential
+    resampling remains the one (quality-favoring) deviation: it avoids the
+    reference's accumulated interpolation blur.
   * ``percentile_normalize`` <- MyNormalizeMedicPercentile (:216-269).
 
 Gaussian smoothing of dense elastic fields with a *traced* sigma uses an FFT
@@ -229,19 +231,52 @@ def _bilinear_sample(img_hwc, ys, xs):
     return top * (1 - wy) + bot * wy
 
 
-def warp_image(img_hwc, ys, xs):
-    """Bilinear warp of an HWC image at sample coords."""
-    return _bilinear_sample(img_hwc, ys, xs)
+def warp_image(img_hwc, ys, xs, order: int = 3):
+    """Warp an HWC image at sample coords; zero outside the source frame.
+
+    ``order=3`` (default) is the reference's interpolation order: cubic
+    B-spline sampling with 'reflect' coefficient extension, exactly scipy's
+    map_coordinates(order=3, mode='reflect') used by the elastic stage
+    (elastic_transform.py:95) — realized via two MXU prefilter matmuls
+    (ops/spline.py).  Zero fill outside keeps the torchsample affine's
+    zero padding for the composed single warp.  ``order=1`` is the cheap
+    bilinear path."""
+    if order == 1:
+        return _bilinear_sample(img_hwc, ys, xs)
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.spline import (
+        map_coordinates_cubic,
+    )
+
+    h, w = img_hwc.shape[0], img_hwc.shape[1]
+    out = map_coordinates_cubic(img_hwc, ys, xs, mode="reflect")
+    valid = ((ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1))[..., None]
+    return jnp.where(valid, out, 0.0).astype(img_hwc.dtype)
 
 
-def warp_label(label_hw, ys, xs, num_classes: int):
-    """Label warp: one-hot bilinear + argmax (per-class warping like
-    elastic_transform.py:86-96, order reduced to 1)."""
+def warp_label(label_hw, ys, xs, num_classes: int, order: int = 3):
+    """Per-class label warp (elastic_transform.py:86-92): warp each class
+    indicator, then overwrite ``result[score_c >= 0.5] = c`` in ascending
+    class order (highest overlapping class wins, exactly like the reference
+    loop).  ``order=3`` uses scipy-parity cubic sampling with mode='nearest'
+    (the reference's label mode); ``order=1`` reduces to one-hot bilinear.
+    Outside the source frame scores are zeroed -> background, matching the
+    affine's zero fill."""
     onehot = jax.nn.one_hot(label_hw, num_classes, dtype=jnp.float32)
-    warped = _bilinear_sample(onehot, ys, xs)
-    # outside pixels have all-zero scores -> argmax=0 (background), matching
-    # the reference's zero fill
-    return jnp.argmax(warped, axis=-1).astype(label_hw.dtype)
+    if order == 1:
+        scores = _bilinear_sample(onehot, ys, xs)
+    else:
+        from cooperative_training_and_latent_space_data_augmentation_tpu.ops.spline import (
+            map_coordinates_cubic,
+        )
+
+        scores = map_coordinates_cubic(onehot, ys, xs, mode="nearest")
+    h, w = label_hw.shape
+    valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    result = jnp.zeros(ys.shape, label_hw.dtype)
+    for c in range(num_classes):
+        hit = (scores[..., c] >= 0.5) & valid
+        result = jnp.where(hit, jnp.asarray(c, label_hw.dtype), result)
+    return result
 
 
 def _affine_inverse_matrix(key, policy: AugmentPolicy, h: int, w: int):

@@ -1,0 +1,137 @@
+"""Exact cubic B-spline interpolation (scipy map_coordinates order=3) on TPU.
+
+scipy's order-3 ``map_coordinates`` is (1) a B-spline PREFILTER that converts
+samples into spline coefficients — scipy runs a recursive IIR along each axis
+— followed by (2) evaluation of the cubic B-spline basis over each output
+coordinate's 4x4 coefficient neighborhood.
+
+TPU-native design: the prefilter solves the same tridiagonal interpolation
+system ``T @ coeffs = data`` (T rows = [1/6, 4/6, 1/6] folded at the
+boundaries per the extension mode), so with static image sizes it is TWO
+DENSE MATMULS with precomputed ``T^{-1}`` factors — they ride the MXU and
+need no sequential scan.  Matches scipy.ndimage.map_coordinates(order=3)
+to float32 precision (golden tests in tests/test_spline.py).
+
+Used by the augmentation warp engine (ops/augment.py) to reproduce the
+reference's order-3 geometry (elastic_transform.py:86-96) instead of the
+round-1 bilinear reduction.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _extend_index(i: np.ndarray, n: int, mode: str) -> np.ndarray:
+    """Fold integer indices into [0, n) per scipy boundary mode."""
+    i = np.asarray(i)
+    if mode == "nearest":
+        return np.clip(i, 0, n - 1)
+    if mode == "reflect":  # scipy 'reflect': d c b a | a b c d | d c b a
+        period = 2 * n
+        i = np.mod(i, period)
+        return np.where(i >= n, period - 1 - i, i)
+    if mode == "mirror":  # scipy 'mirror': d c b | a b c d | c b a
+        if n == 1:
+            return np.zeros_like(i)
+        period = 2 * n - 2
+        i = np.mod(i, period)
+        return np.where(i >= n, period - i, i)
+    raise NotImplementedError(mode)
+
+
+def _extend_index_jnp(i, n: int, mode: str):
+    """Traced version of :func:`_extend_index`."""
+    if mode == "nearest":
+        return jnp.clip(i, 0, n - 1)
+    if mode == "reflect":
+        period = 2 * n
+        i = jnp.mod(i, period)
+        return jnp.where(i >= n, period - 1 - i, i)
+    if mode == "mirror":
+        if n == 1:
+            return jnp.zeros_like(i)
+        period = 2 * n - 2
+        i = jnp.mod(i, period)
+        return jnp.where(i >= n, period - i, i)
+    raise NotImplementedError(mode)
+
+
+@lru_cache(maxsize=None)
+def prefilter_matrix(n: int, mode: str) -> np.ndarray:
+    """``T^{-1}`` for the 1-D cubic B-spline interpolation system of length n.
+
+    Row i of T: coeff weights [1/6, 4/6, 1/6] at (i-1, i, i+1) with
+    out-of-range neighbors folded back per ``mode`` — the finite-domain
+    equivalent of scipy's IIR prefilter on the mode-extended signal."""
+    if n < 2:
+        return np.ones((n, n), np.float32) * 1.5  # T = [[2/3]]
+    T = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for off, wgt in ((-1, 1.0 / 6.0), (0, 4.0 / 6.0), (1, 1.0 / 6.0)):
+            T[i, int(_extend_index(i + off, n, mode))] += wgt
+    return np.linalg.inv(T).astype(np.float32)
+
+
+def spline_coefficients(img_hwc, mode: str = "mirror"):
+    """Separable 2-D prefilter: coeffs = M_h @ img @ M_w^T (two matmuls)."""
+    h, w = img_hwc.shape[0], img_hwc.shape[1]
+    m_h = jnp.asarray(prefilter_matrix(h, mode))
+    m_w = jnp.asarray(prefilter_matrix(w, mode))
+    coeff = jnp.tensordot(m_h, img_hwc, axes=[[1], [0]])          # (h, w, c)
+    coeff = jnp.moveaxis(jnp.tensordot(m_w, coeff, axes=[[1], [1]]), 0, 1)
+    return coeff
+
+
+def _bspline_weights(t):
+    """Cubic B-spline basis at taps (-1, 0, 1, 2) for fractional t in [0,1)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0   # (1-t)^3 / 6
+    w1 = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0
+    w2 = (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0
+    w3 = t3 / 6.0
+    return (w0, w1, w2, w3)
+
+
+def map_coordinates_cubic(img_hwc, ys, xs, mode: str = "mirror",
+                          prefiltered: bool = False):
+    """scipy.ndimage.map_coordinates(order=3) for an HWC image at (ys, xs)
+    float sample grids.  ``mode`` handles BOTH coefficient folding and
+    out-of-range coordinates (like scipy).  Pass ``prefiltered=True`` when
+    ``img_hwc`` already holds spline coefficients (for 'nearest' these must
+    be the 12-edge-padded mirror coefficients this function builds)."""
+    h, w = img_hwc.shape[0], img_hwc.shape[1]
+    if mode == "nearest":
+        # scipy has no exact infinite spline extension for 'nearest': it
+        # pre-pads 12 edge-replicated samples per side
+        # (_prepad_for_spline_filter), prefilters the padded array with
+        # 'mirror', and evaluates at the shifted (UNclamped) coordinates —
+        # the spline of the edge-padded signal, not a clamped lookup.
+        pad = 12
+        ys = jnp.clip(ys + pad, 0.0, h + 2 * pad - 1.0)
+        xs = jnp.clip(xs + pad, 0.0, w + 2 * pad - 1.0)
+        if not prefiltered:
+            img_hwc = jnp.pad(img_hwc, ((pad, pad), (pad, pad), (0, 0)),
+                              mode="edge")
+        h, w = h + 2 * pad, w + 2 * pad
+        mode = "mirror"
+    coeff = img_hwc if prefiltered else spline_coefficients(img_hwc, mode)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wys = _bspline_weights(ys - y0)
+    wxs = _bspline_weights(xs - x0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    out = jnp.zeros(ys.shape + (img_hwc.shape[-1],), coeff.dtype)
+    for dy in range(-1, 3):
+        yi = _extend_index_jnp(y0i + dy, h, mode)
+        wy = wys[dy + 1][..., None]
+        for dx in range(-1, 3):
+            xi = _extend_index_jnp(x0i + dx, w, mode)
+            wx = wxs[dx + 1][..., None]
+            out = out + wy * wx * coeff[yi, xi]
+    return out

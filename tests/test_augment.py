@@ -80,6 +80,41 @@ def test_label_geometry_follows_image():
     assert area_after == pytest.approx(min(expected, 1.0), rel=0.25)
 
 
+def test_warp_order3_matches_scipy():
+    """The fused warp's order-3 sampling equals scipy map_coordinates
+    (image: mode='reflect'; labels: per-class mode='nearest' + the >=0.5
+    ascending overwrite of elastic_transform.py:86-92), with zero fill
+    outside the frame."""
+    from scipy import ndimage
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
+        warp_image,
+        warp_label,
+    )
+
+    rng = np.random.RandomState(4)
+    img = rng.rand(20, 20, 1).astype(np.float64)
+    lbl = rng.randint(0, 4, (20, 20)).astype(np.int32)
+    ys = (np.mgrid[0:20, 0:20][0] + 3.0 * rng.randn(20, 20)).astype(np.float64)
+    xs = (np.mgrid[0:20, 0:20][1] + 3.0 * rng.randn(20, 20)).astype(np.float64)
+
+    got = np.asarray(warp_image(jnp.asarray(img), jnp.asarray(ys),
+                                jnp.asarray(xs)))[..., 0]
+    ref = ndimage.map_coordinates(img[..., 0], [ys, xs], order=3,
+                                  mode="reflect")
+    valid = (ys >= 0) & (ys <= 19) & (xs >= 0) & (xs <= 19)
+    np.testing.assert_allclose(got, np.where(valid, ref, 0.0), atol=1e-4)
+
+    got_l = np.asarray(warp_label(jnp.asarray(lbl), jnp.asarray(ys),
+                                  jnp.asarray(xs), num_classes=4))
+    ref_l = np.zeros((20, 20), np.int32)
+    for c in range(4):
+        s = ndimage.map_coordinates((lbl == c).astype(float), [ys, xs],
+                                    order=3, mode="nearest")
+        ref_l[(s >= 0.5) & valid] = c
+    np.testing.assert_array_equal(got_l, ref_l)
+
+
 def test_flip_probability_zero_and_one():
     img, lbl = _sample(hw=(32, 32))
     p_no = A.AugmentPolicy(flip_h=True, flip_v=False, flip_p=0.0)
