@@ -544,3 +544,85 @@ def test_resconvunet_parity():
     variables = transplant(fm, tm, x, resconvunet_vars, train=False)
     mut = check_forward(fm, tm, variables, x, atol=2e-4)
     check_bn_buffers(tm, mut, resconvunet_vars)
+
+
+# ---------------------------------------------------------------------------
+# 3-D parts (unet_parts.py:605-663)
+# ---------------------------------------------------------------------------
+
+
+def conv3d_p(sd, key):
+    """torch Conv3d OIDHW -> flax DHWIO."""
+    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 4, 1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def unetconv3_vars(sd, prefix=""):
+    params = {
+        "Conv_0": conv3d_p(sd, f"{prefix}conv1.0"),
+        "BatchNorm_0": bn_p(sd, f"{prefix}conv1.1"),
+        "Conv_1": conv3d_p(sd, f"{prefix}conv2.0"),
+        "BatchNorm_1": bn_p(sd, f"{prefix}conv2.1"),
+    }
+    stats = {
+        "BatchNorm_0": bn_s(sd, f"{prefix}conv1.1"),
+        "BatchNorm_1": bn_s(sd, f"{prefix}conv2.1"),
+    }
+    return params, stats
+
+
+def test_unetconv3_parity():
+    from medseg.models.segmentation_models.unet_parts import (
+        UnetConv3 as TorchUnetConv3,
+    )
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
+        unet3d,
+    )
+
+    tm = TorchUnetConv3(in_size=2, out_size=8, is_batchnorm=True)
+    fm = unet3d.UnetConv3(features=8, is_batchnorm=True)
+    x = RNG.rand(2, 4, 12, 12, 2).astype(np.float32)  # NDHWC
+    sd = tm.state_dict()
+    p, s = unetconv3_vars(sd)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, p),
+                 "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)}
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)).copy())).numpy()
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 4, 1, 2, 3)),
+                               ref, rtol=0, atol=2e-4)
+
+
+def test_unetup3_parity():
+    """Trilinear (non-deconv) up path with z_scale_factor=2 — the one setting
+    where the torch module's Upsample(scale_factor=z) (which scales ALL
+    spatial dims by z, unet_parts.py:620) and a genuine x2 upsample agree."""
+    from medseg.models.segmentation_models.unet_parts import (
+        UnetUp3 as TorchUnetUp3,
+    )
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
+        unet3d,
+    )
+
+    tm = TorchUnetUp3(in_size=6, out_size=4, is_deconv=False,
+                      is_batchnorm=True, z_scale_factor=2)
+    fm = unet3d.UnetUp3(features=4, is_deconv=False, is_batchnorm=True,
+                        z_scale_factor=2)
+    skip = RNG.rand(2, 4, 8, 8, 4).astype(np.float32)   # NDHWC
+    x = RNG.rand(2, 2, 4, 4, 6).astype(np.float32)
+    sd = tm.state_dict()
+    p, s = unetconv3_vars(sd, "conv.")
+    variables = {"params": {"UnetConv3_0": jax.tree_util.tree_map(jnp.asarray, p)},
+                 "batch_stats": {"UnetConv3_0": jax.tree_util.tree_map(jnp.asarray, s)}}
+    tm.eval()
+    to_t = lambda a: torch.from_numpy(np.transpose(a, (0, 4, 1, 2, 3)).copy())
+    with torch.no_grad():
+        ref = tm(to_t(skip), to_t(x)).numpy()
+    got = fm.apply(variables, jnp.asarray(skip), jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 4, 1, 2, 3)),
+                               ref, rtol=0, atol=2e-4)
