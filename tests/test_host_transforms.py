@@ -108,11 +108,22 @@ def test_my_rotate_zero_pads():
 
 
 def test_my_rotate_crop_removes_borders():
-    """crop=True: no black rotation corners survive on a constant image."""
+    """crop=True removes the black rotation corners on a constant image.
+
+    The reference's largest_rotated_rect uses the pixel COUNT (w=16) while
+    the rotated content spans the pixel-center extent (15), so the crop's
+    extreme corners may still clip a <=1-px sliver of border — an artifact
+    of the reference's own formula, kept for parity.  Assert the crop is
+    essentially border-free rather than bit-perfectly so."""
     x = np.ones((16, 16), np.float32)
     out = my_rotate(x, 30.0, (16, 16), crop=True)
     assert out.shape == (16, 16)
-    assert out.min() > 0.5  # borders cropped away, not padded zeros
+    dark_frac = float((out < 0.5).mean())
+    assert dark_frac < 0.02
+    assert out[2:-2, 2:-2].min() > 0.5  # interior fully content
+    # without crop, the rotation corners stay black (>10% of the frame)
+    plain = my_rotate(x, 30.0, (16, 16), crop=False)
+    assert float((plain < 0.5).mean()) > 0.10
 
 
 def test_largest_rotated_rect():

@@ -244,3 +244,57 @@ def test_profiling_utils(tmp_path):
         jax.block_until_ready(f(x))
     import os
     assert any(os.scandir(str(tmp_path / "tb")))
+
+
+def test_save_helpers(tmp_path):
+    """The analysis/notebook savers from common_utils/save.py:19-343."""
+    import numpy as _np
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.save import (
+        link_image,
+        load_dict,
+        save_dict,
+        save_imgs,
+        save_list_results_as_png,
+        save_npy2image,
+        save_numpy_as_nrrd,
+        save_predict,
+        save_results_as_png,
+        save_results_with_points_as_png,
+    )
+
+    d = {"a": 1, "rows": [1, 2, 3]}
+    p = save_dict(d, str(tmp_path / "sub" / "x.pkl"))
+    assert load_dict(p) == d
+
+    rng = _np.random.RandomState(0)
+    imgs = rng.rand(3, 8, 8, 1).astype(_np.float32)
+    logits = rng.rand(3, 8, 8, 4).astype(_np.float32)
+    p = save_imgs([imgs, logits], is_image=True, names=["img", "pred"],
+                  cmaps=["gray", "RdBu"], save_dir=str(tmp_path / "imgs"),
+                  file_name="t_{}.png")
+    assert p is None or _np.fromfile(p, dtype=_np.uint8).size > 0
+
+    vol = rng.rand(3, 8, 8).astype(_np.float32)
+    p = save_predict(vol, str(tmp_path / "pred"), "patient_01", "ED_img.nrrd")
+    assert p.endswith(".nrrd") and _np.fromfile(p, dtype=_np.uint8).size > 0
+    p2 = save_numpy_as_nrrd(vol, str(tmp_path / "plain.nrrd"))
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.nifti import (
+        read_nrrd,
+    )
+
+    back, _ = read_nrrd(p2)
+    _np.testing.assert_allclose(back, vol, atol=1e-6)
+
+    link = link_image(p2, str(tmp_path / "linked"), "patient_01")
+    assert _np.fromfile(link, dtype=_np.uint8).size > 0  # resolves through symlink
+    link_image(p2, str(tmp_path / "linked"), "patient_01")  # idempotent
+
+    a = [rng.rand(8, 8) for _ in range(3)]
+    assert save_results_as_png(a, str(tmp_path / "row.png"), labels=list("abc"))
+    assert save_list_results_as_png(
+        [a, a], str(tmp_path / "grid.png"), labels=["r0", "r1"],
+        add_points=[[[2, 3]], [[4, 5]]], which_index=0)
+    assert save_results_with_points_as_png(
+        a, str(tmp_path / "pts.png"), points=[[[1, 1]], None, [[2, 2]]])
+    assert save_npy2image(a[0], str(tmp_path / "npy2img"), "x")
