@@ -25,20 +25,28 @@ def one_hot(labels, num_classes: int, dtype=jnp.float32):
 
 
 def cross_entropy_2d(logits, target, weight=None, size_average: bool = True):
-    """Pixelwise CE (model_util.cross_entropy_2D:104-135).
+    """Pixelwise CE (custom_loss.cross_entropy_2D:706-770 — the variant every
+    training config reaches via basic_loss_fn).
 
-    * NHW int target: mean (or sum) NLL under log-softmax; optional class
-      weights softmax-normalized * C for stability (matching :110-115).
+    * NHW int target: mean (or sum) NLL under log-softmax; class weights
+      normalized to sum C via ``w / w.sum() * C`` (:733-735).
     * NHWC soft target: target is *logits* of the reference distribution;
-      loss = -mean_over_pixels(mean_over_classes(q * log p)) (:116-132).
+      loss = -sum_over_classes(q * log p) averaged over PIXELS (:737-752).
+
+    (model_util.cross_entropy_2D:104-135 is a second reference variant with
+    different weighted/soft arithmetic — softmax weight normalization and a
+    class-MEAN soft reduction; its only reachable uses are UNWEIGHTED with
+    hard labels, where the two variants coincide.)
     """
     c = logits.shape[-1]
     log_p = jax.nn.log_softmax(logits, axis=-1)
+    if weight is not None:
+        w = jnp.asarray(weight, log_p.dtype)
+        w = w / jnp.sum(w) * c
     if target.ndim == logits.ndim - 1:
         tgt = one_hot(target, c, dtype=log_p.dtype)
         nll = -(tgt * log_p)
         if weight is not None:
-            w = jax.nn.softmax(jnp.asarray(weight, log_p.dtype)) * c
             nll = nll * w
         loss = jnp.sum(nll)
         if size_average:
@@ -48,47 +56,74 @@ def cross_entropy_2d(logits, target, weight=None, size_average: bool = True):
         q = jax.nn.softmax(target, axis=-1)
         plogq = q * log_p
         if weight is None:
-            # mean over classes then mean over all pixels (ref :122)
-            loss = -jnp.mean(jnp.mean(plogq, axis=-1))
+            # SUM over classes, mean over pixels: the reference divides the
+            # total by mask_region_size = number of PIXELS (:729-740)
+            loss = -jnp.mean(jnp.sum(plogq, axis=-1))
         else:
-            w = jax.nn.softmax(jnp.asarray(weight, log_p.dtype)) * c
-            loss = -sum(jnp.mean(plogq[..., i] * w[i]) for i in range(c))
+            # weighted per-class sums, divided by the pixel count (:741-752)
+            loss = -jnp.sum(plogq * w) / (target.size / c)
         return loss
     raise ValueError(f"bad target rank {target.ndim} for logits rank {logits.ndim}")
 
 
-def cross_entropy_3d(logits, target, weight=None):
-    """3-D variant (custom_loss.cross_entropy_3D:133-153); NDHWC logits."""
-    return cross_entropy_2d(logits, target, weight=weight)
+def cross_entropy_3d(logits, target, weight=None, size_average: bool = True):
+    """3-D variant (custom_loss.cross_entropy_3D:133-155); NDHWC logits.
+
+    Unlike cross_entropy_2D, the reference's 3-D version passes raw class
+    weights to nll_loss WITHOUT softmax normalization and divides the
+    weighted sum by the plain element count."""
+    c = logits.shape[-1]
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    tgt = one_hot(target, c, dtype=log_p.dtype)
+    nll = -jnp.sum(tgt * log_p, axis=-1)
+    if weight is not None:
+        nll = nll * jnp.take(jnp.asarray(weight, log_p.dtype), target)
+    loss = jnp.sum(nll)
+    if size_average:
+        loss = loss / target.size
+    return loss
 
 
 def soft_dice_loss(logits, target, num_classes: Optional[int] = None,
-                   weight=None, eps: float = 1e-7, square_denom: bool = False):
+                   weight=None, smooth: float = 0.01,
+                   square_denom: bool = False, target_is_soft_logits: bool = False):
     """Soft Dice over softmax probs (custom_loss.SoftDiceLoss:356-397).
 
-    target: NHW int labels or NHWC one-hot/probs.
+    target: NHW int labels or NHWC one-hot/probs (pass
+    ``target_is_soft_logits=True`` for raw-logit targets, the reference's
+    ``is_gt=False`` 4-d arm).  Exact reference arithmetic:
+    ``2*(inter + smooth) / (union + smooth)``, smooth 0.01.
+
+    ``weight`` is an EXTENSION: the reference's forward accepts a weight
+    argument and silently never uses it (:366-397), so its 'weighted dice'
+    equals plain 'dice'; pass a weight here only if you want real class
+    weighting.
     """
     c = logits.shape[-1]
     probs = jax.nn.softmax(logits, axis=-1)
     if target.ndim == logits.ndim - 1:
         tgt = one_hot(target, c, dtype=probs.dtype)
+    elif target_is_soft_logits:
+        tgt = jax.nn.softmax(target, axis=-1)
     else:
         tgt = target
     axes = tuple(range(1, logits.ndim - 1))  # spatial
-    inter = jnp.sum(probs * tgt, axis=axes)
+    inter = jnp.sum(probs * tgt, axis=axes) + smooth
     if square_denom:
-        denom = jnp.sum(probs * probs, axis=axes) + jnp.sum(tgt * tgt, axis=axes)
+        denom = jnp.sum(probs * probs, axis=axes) + jnp.sum(tgt * tgt, axis=axes) + smooth
     else:
-        denom = jnp.sum(probs, axis=axes) + jnp.sum(tgt, axis=axes)
-    dice = (2.0 * inter + eps) / (denom + eps)  # N, C
+        denom = jnp.sum(probs, axis=axes) + jnp.sum(tgt, axis=axes) + smooth
+    dice = 2.0 * inter / denom  # N, C
     if weight is not None:
         dice = dice * jnp.asarray(weight, dice.dtype)
     return 1.0 - jnp.mean(dice)
 
 
-def selective_soft_dice_loss(logits, target, class_ids: Sequence[int], eps: float = 1e-7):
+def selective_soft_dice_loss(logits, target, class_ids: Sequence[int],
+                             smooth: float = 0.01):
     """Dice restricted to given classes (SelectiveSoftDiceLoss:440-472);
-    'foreground dice' uses class_ids = 1..C-1."""
+    'foreground dice' uses class_ids = 1..C-1.  Reference arithmetic:
+    ``(2*inter + smooth) / (union + smooth)``, smooth 0.01."""
     c = logits.shape[-1]
     probs = jax.nn.softmax(logits, axis=-1)
     tgt = one_hot(target, c, dtype=probs.dtype) if target.ndim == logits.ndim - 1 else target
@@ -98,7 +133,7 @@ def selective_soft_dice_loss(logits, target, class_ids: Sequence[int], eps: floa
     axes = tuple(range(1, logits.ndim - 1))
     inter = jnp.sum(probs * tgt, axis=axes)
     denom = jnp.sum(probs, axis=axes) + jnp.sum(tgt, axis=axes)
-    return 1.0 - jnp.mean((2.0 * inter + eps) / (denom + eps))
+    return 1.0 - jnp.mean((2.0 * inter + smooth) / (denom + smooth))
 
 
 def focal_loss(logits, target, gamma: float = 2.0, alpha=None):
@@ -115,12 +150,14 @@ def focal_loss(logits, target, gamma: float = 2.0, alpha=None):
     return -jnp.mean(w * log_pt)
 
 
-def entropy_loss(logits, eps: float = 1e-12):
-    """Mean per-pixel entropy of predictions, normalized by log C
-    (custom_loss.EntropyLoss:156-171)."""
+def entropy_loss(logits, normalize: bool = False):
+    """Mean per-pixel predictive entropy (custom_loss.EntropyLoss:156-171 —
+    the reference returns raw nats); ``normalize=True`` divides by log C
+    for a [0, 1] range."""
     p = jax.nn.softmax(logits, axis=-1)
-    ent = -jnp.sum(p * jnp.log(p + eps), axis=-1)
-    return jnp.mean(ent) / jnp.log(logits.shape[-1])
+    ent = -jnp.sum(p * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    out = jnp.mean(ent)
+    return out / jnp.log(logits.shape[-1]) if normalize else out
 
 
 def kl_divergence(p_logit, q_logit):
@@ -133,15 +170,18 @@ def kl_divergence(p_logit, q_logit):
 
 
 def brier_loss(logits, target):
-    """Brier score (custom_loss:495-512)."""
+    """Brier score (custom_loss.CustomBrierLoss:495-512).  Reference
+    normalization: the squared error is SUMMED over pixels and divided by
+    batch*num_classes (not a per-pixel mean)."""
     c = logits.shape[-1]
+    n = logits.shape[0]
     p = jax.nn.softmax(logits, axis=-1)
     tgt = one_hot(target, c, dtype=p.dtype)
-    return jnp.mean(jnp.sum((p - tgt) ** 2, axis=-1))
+    return jnp.sum((p - tgt) ** 2) / (float(n) * float(c))
 
 
-def smooth_l1_loss(pred, target, beta: float = 1.0):
-    """Huber / smooth-L1 (custom_loss:310-318)."""
+def smooth_l1_loss(pred, target, beta: float = 1.0 / 9.0):
+    """Huber / smooth-L1 (custom_loss:310-318; reference default beta=1/9)."""
     diff = jnp.abs(pred - target)
     return jnp.mean(jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta))
 
@@ -162,8 +202,10 @@ def calc_angular_loss(a, b, eps: float = 1e-8):
 
 
 def calc_correlation_loss(a, b, eps: float = 1e-8):
-    """Encourage dissimilarity: mean |cos| between spatial vectors (custom_loss:57-68)."""
-    return jnp.mean(jnp.abs(_pairwise_spatial_cosine(a, b, eps)))
+    """Encourage dissimilarity: mean cosine between spatial vectors
+    (custom_loss:56-68 — the raw mean, which CAN be negative; the reference
+    takes no absolute value)."""
+    return jnp.mean(_pairwise_spatial_cosine(a, b, eps))
 
 
 def gram_matrix(x):
@@ -178,29 +220,38 @@ def style_loss(a, b):
     return jnp.mean((gram_matrix(a) - gram_matrix(b)) ** 2)
 
 
-def contour_loss(probs, target, num_classes: int, foreground_only: bool = True):
-    """Sobel-gradient MSE on per-class probability maps (custom_loss.contour_loss
-    :784-861): penalizes boundary mismatch between soft prediction and one-hot GT.
+def contour_loss(probs, target, num_classes: int, foreground_only: bool = True,
+                 one_hot_target: bool = True):
+    """Sobel-gradient MSE on class probability maps (custom_loss.contour_loss
+    :784-861): penalizes boundary mismatch between soft prediction and GT.
 
-    ``probs``: NHWC softmax probabilities.
+    ``probs``: NHWC softmax probabilities.  ``target``: NHW int labels
+    (``one_hot_target=True``) or NHWC soft maps.
+
+    Exact reference arithmetic: the torch version repeats one Sobel filter
+    over BOTH channel axes of a dense Conv2d (:870-885), so every output
+    channel is the Sobel response of the SUM over class channels — each
+    replicated ``object_classes`` times, which leaves the MSE mean
+    unchanged.  Computed here on the summed map directly.
     """
-    tgt = one_hot(target, num_classes, dtype=probs.dtype)
+    if one_hot_target:
+        tgt = one_hot(target, num_classes, dtype=probs.dtype)
+    else:
+        tgt = target
     sobel_x = jnp.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], probs.dtype)
-    sobel_y = sobel_x.T
+    sobel_y = jnp.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], probs.dtype)
 
-    def grad2d(x_nhwc, k):
-        # depthwise conv via lax.conv_general_dilated with feature_group_count
-        c = x_nhwc.shape[-1]
-        kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    def grad2d(x_nhw1, k):
         return jax.lax.conv_general_dilated(
-            x_nhwc, kernel, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+            x_nhw1, k[:, :, None, None], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     cls = slice(1, num_classes) if foreground_only else slice(0, num_classes)
-    p, t = probs[..., cls], tgt[..., cls]
-    loss = ((grad2d(p, sobel_x) - grad2d(t, sobel_x)) ** 2
-            + (grad2d(p, sobel_y) - grad2d(t, sobel_y)) ** 2)
-    return jnp.mean(loss)
+    p = jnp.sum(probs[..., cls], axis=-1, keepdims=True)
+    t = jnp.sum(tgt[..., cls], axis=-1, keepdims=True)
+    loss = (jnp.mean((grad2d(p, sobel_x) - grad2d(t, sobel_x)) ** 2)
+            + jnp.mean((grad2d(p, sobel_y) - grad2d(t, sobel_y)) ** 2))
+    return 0.5 * loss
 
 
 def calc_triplet_loss(anchor, positive, negative, margin: float = 1.0):
@@ -210,11 +261,13 @@ def calc_triplet_loss(anchor, positive, negative, margin: float = 1.0):
     return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
 
 
-def contrastive_loss(a, b, label, margin: float = 2.0):
+def contrastive_loss(a, b, label, margin: float = 2.0, eps: float = 1e-9):
     """Pairwise contrastive loss (custom_loss.ContrastiveLoss:83-98);
-    label=0 similar, 1 dissimilar."""
-    d = jnp.linalg.norm((a - b).reshape(a.shape[0], -1), axis=1)
-    return jnp.mean((1 - label) * d ** 2 + label * jnp.maximum(margin - d, 0.0) ** 2)
+    reference semantics: label=1 same class (pull via squared distance),
+    label=0 different (push to margin); 0.5 * mean."""
+    d2 = jnp.sum((b - a).reshape(a.shape[0], -1) ** 2, axis=1)
+    push = jnp.maximum(margin - jnp.sqrt(d2 + eps), 0.0) ** 2
+    return jnp.mean(0.5 * (label * d2 + (1.0 - label) * push))
 
 
 def nt_xent_loss(z1, z2, temperature: float = 0.5):
@@ -230,8 +283,12 @@ def nt_xent_loss(z1, z2, temperature: float = 0.5):
 
 
 def mse_segmentation_consistency(pred_logit, ref_logit):
-    """MSE between softmaxed maps (custom_loss:772-776)."""
-    return jnp.mean((jax.nn.softmax(pred_logit, -1) - jax.nn.softmax(ref_logit, -1)) ** 2)
+    """MSE between softmaxed maps (custom_loss.calc_segmentation_mse_consistency
+    :772-776): routed through the consistency 'mse' branch, i.e. summed
+    squared error / (N*H*W)."""
+    return calc_segmentation_consistency(pred_logit, ref_logit,
+                                         divergence_types=("mse",),
+                                         divergence_weights=(1.0,))
 
 
 def calc_segmentation_consistency(pred_logit, ref_logit, divergence_types=("kl", "contour"),
@@ -239,7 +296,11 @@ def calc_segmentation_consistency(pred_logit, ref_logit, divergence_types=("kl",
                                   scales=(0,)):
     """Multi-scale multi-divergence consistency (custom_loss:892-974).
 
-    Supported divergences: kl | ce | mse | contour.
+    Supported divergences: kl | ce | mse | Dice | contour.  Exact reference
+    arithmetic per branch: mse = summed squared error / (N*H*W) (:946-955),
+    contour = per-foreground-class single-channel contour losses averaged
+    (:956-967), each scale's term weighted by 2**scale (:971), result
+    averaged over scales.
     """
     total = 0.0
     for scale in scales:
@@ -256,24 +317,37 @@ def calc_segmentation_consistency(pred_logit, ref_logit, divergence_types=("kl",
             elif name == "ce":
                 loss = cross_entropy_2d(p, r)
             elif name == "mse":
-                loss = mse_segmentation_consistency(p, r)
+                n, h, wd = p.shape[0], p.shape[1], p.shape[2]
+                loss = jnp.sum(
+                    (jax.nn.softmax(p, -1) - jax.nn.softmax(r, -1)) ** 2
+                ) / (n * h * wd)
+            elif name == "Dice":
+                loss = soft_dice_loss(p, r, target_is_soft_logits=True)
             elif name == "contour":
-                loss = contour_loss(jax.nn.softmax(p, -1),
-                                    jnp.argmax(r, -1), num_classes)
+                sp = jax.nn.softmax(p, -1)
+                sr = jax.nn.softmax(r, -1)
+                loss = 0.0
+                for i in range(1, num_classes):
+                    loss = loss + contour_loss(
+                        sp[..., i:i + 1], sr[..., i:i + 1], num_classes=1,
+                        foreground_only=False, one_hot_target=False)
+                loss = loss / max(num_classes - 1, 1)
             else:
                 raise NotImplementedError(name)
-            total = total + w * loss
+            total = total + (2 ** scale) * w * loss
     return total / len(scales)
 
 
-def soft_dice_loss_3d(logits, target, weight=None, eps: float = 1e-7):
+def soft_dice_loss_3d(logits, target, weight=None, smooth: float = 0.01):
     """3-D soft Dice (custom_loss.SoftDiceLoss3D:399-438): NDHWC logits.
 
     The generic :func:`soft_dice_loss` already reduces over all spatial
-    axes, so the 3-D case is the same computation at ndim=5.
+    axes, so the 3-D case is the same computation at ndim=5.  (The
+    reference class itself cannot be constructed — its __init__ calls
+    super(SoftDiceLoss, ...) from SoftDiceLoss3D, a TypeError.)
     """
     assert logits.ndim == 5, "expect NDHWC"
-    return soft_dice_loss(logits, target, weight=weight, eps=eps)
+    return soft_dice_loss(logits, target, weight=weight, smooth=smooth)
 
 
 def hierarchical_loss(multi_preds, target, weights=(1.0, 1.0, 1.0)):
@@ -380,7 +454,11 @@ def basic_loss_fn(pred, target, loss_type: str = "cross entropy", class_weights=
     if loss_type == "dice":
         return soft_dice_loss(pred, target)
     if loss_type == "weighted dice":
-        return soft_dice_loss(pred, target, weight=class_weights)
+        # realized reference behavior: SoftDiceLoss.forward ACCEPTS a weight
+        # argument and never uses it (custom_loss.py:366-397), so 'weighted
+        # dice' trains identically to 'dice'; reproduced for parity (pass a
+        # weight to soft_dice_loss directly for real class weighting).
+        return soft_dice_loss(pred, target)
     if loss_type == "foreground dice":
         return selective_soft_dice_loss(pred, target, list(range(1, num_classes)))
     if loss_type == "focal":

@@ -38,10 +38,12 @@ def test_cross_entropy_2d_soft_target(logits_labels):
     logits, _ = logits_labels
     target = np.random.RandomState(1).randn(3, 8, 8, 4).astype(np.float32)
     ours = float(losses.cross_entropy_2d(jnp.asarray(logits), jnp.asarray(target)))
-    # ref: -mean over classes then mean over pixels of q*log_p (model_util.py:116-132)
+    # ref: -SUM over classes, mean over pixels (custom_loss.py:737-740 —
+    # the training-reachable variant; model_util's class-MEAN variant is
+    # documented in the cross_entropy_2d docstring)
     log_p = F.log_softmax(_to_torch_nchw(logits), dim=1)
     q = F.softmax(_to_torch_nchw(target), dim=1)
-    t = -torch.mean(torch.mean(q * log_p, dim=1))
+    t = -torch.mean(torch.sum(q * log_p, dim=1))
     np.testing.assert_allclose(ours, float(t), rtol=1e-5)
 
 
@@ -49,7 +51,9 @@ def test_cross_entropy_weighted(logits_labels):
     logits, labels = logits_labels
     w = np.array([0.1, 0.5, 0.2, 0.2], np.float32)
     ours = float(losses.cross_entropy_2d(jnp.asarray(logits), jnp.asarray(labels), weight=w))
-    tw = torch.softmax(torch.from_numpy(w), dim=0) * 4
+    # custom_loss.cross_entropy_2D:733-735: w / w.sum() * C (the variant
+    # reachable from every training config via basic_loss_fn)
+    tw = torch.from_numpy(w) / torch.from_numpy(w).sum() * 4
     t = F.nll_loss(
         F.log_softmax(_to_torch_nchw(logits), dim=1),
         torch.from_numpy(labels.astype(np.int64)), weight=tw, reduction="sum"
@@ -60,6 +64,8 @@ def test_cross_entropy_weighted(logits_labels):
 def test_soft_dice_perfect_prediction():
     labels = np.zeros((2, 8, 8), np.int32)
     labels[:, :4] = 1
+    labels[:, 6:] = 2  # every class present (absent classes score dice
+    # 2*smooth/smooth = 2 in the reference arithmetic, by design)
     # extreme logits -> probs ~ one-hot -> dice ~ 1 -> loss ~ 0
     logits = (np.eye(3, dtype=np.float32)[labels] * 2 - 1) * 50.0
     loss = float(losses.soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels)))
@@ -90,10 +96,12 @@ def test_kl_divergence_identity(logits_labels):
 
 def test_entropy_loss_bounds(logits_labels):
     logits, _ = logits_labels
-    ent = float(losses.entropy_loss(jnp.asarray(logits)))
+    # reference EntropyLoss returns raw nats; normalize=True -> [0, 1]
+    ent = float(losses.entropy_loss(jnp.asarray(logits), normalize=True))
     assert 0.0 <= ent <= 1.0
     uniform = jnp.zeros_like(jnp.asarray(logits))
-    assert float(losses.entropy_loss(uniform)) == pytest.approx(1.0, abs=1e-5)
+    assert float(losses.entropy_loss(uniform, normalize=True)) == pytest.approx(1.0, abs=1e-5)
+    assert float(losses.entropy_loss(uniform)) == pytest.approx(float(np.log(4)), abs=1e-5)
 
 
 def test_contour_loss_zero_for_match():
@@ -167,7 +175,7 @@ def test_soft_dice_loss_3d(np_rng):
     logits = jnp.asarray(np_rng.randn(2, 3, 8, 8, 4).astype(np.float32))
     labels = jnp.asarray(np_rng.randint(0, 4, (2, 3, 8, 8)).astype(np.int32))
     loss = losses.soft_dice_loss_3d(logits, labels)
-    assert 0 <= float(loss) <= 1
+    assert 0 <= float(loss) <= 1.05  # smooth 0.01 can nudge above 1 slightly
 
 
 def test_zncc_loss(np_rng):
