@@ -62,9 +62,11 @@ def main():
     dtype = None if os.environ.get("BENCH_DTYPE") == "float32" else jnp.bfloat16
     # remat: rematerialized backward is BOTH smaller (4.4 vs 10.0 GiB temp)
     # and faster (recompute beats activation HBM spill) on v5e.
+    # BENCH_REMAT=0 opts out (A/B knob).
+    remat = os.environ.get("BENCH_REMAT", "1") != "0"
     solver = CooperativeTripletSolver(
         network_type="FCN_16_standard", image_ch=1, num_classes=4,
-        input_hw=(192, 192), compute_dtype=dtype, remat=True)
+        input_hw=(192, 192), compute_dtype=dtype, remat=remat)
     state = solver.init_state(jax.random.PRNGKey(0))
     step = solver.make_train_step(latent_da=LatentDAConfig(),
                                   separate_training=False, donate=True)
