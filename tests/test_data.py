@@ -124,6 +124,40 @@ def test_swap_labels():
     np.testing.assert_array_equal(swap_labels_acdc(lbl), [0, 3, 2, 1])
 
 
+def test_preprocess_acdc_dataset_raw_tree(tmp_path):
+    """Full offline driver over a raw ACDC layout (acdc_preprocess.py:97-149):
+    Info.cfg frame lookup, normalize, in-plane resample, RV<->LV swap, NRRD
+    layout {out}/{pid}/{frame}_{img,seg}.nrrd scanned by data/acdc.py."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.preprocess import (
+        preprocess_acdc_dataset,
+    )
+
+    rng = np.random.RandomState(0)
+    raw = tmp_path / "raw"
+    for pid in ("001", "002"):
+        pdir = raw / f"patient{pid}"
+        pdir.mkdir(parents=True)
+        (pdir / "Info.cfg").write_text("ED: 1\nES: 12\nNbFrame: 30\n")
+        for frame_no in (1, 12):
+            img = rng.rand(4, 40, 40).astype(np.float32) * 500.0
+            seg = rng.randint(0, 4, (4, 40, 40)).astype(np.int16)
+            write_nifti(str(pdir / f"patient{pid}_frame{frame_no:02d}.nii.gz"),
+                        img, spacing=(2.0, 2.0, 8.0))
+            write_nifti(str(pdir / f"patient{pid}_frame{frame_no:02d}_gt.nii.gz"),
+                        seg, spacing=(2.0, 2.0, 8.0))
+    out = tmp_path / "out"
+    n = preprocess_acdc_dataset(str(raw), str(out))
+    assert n == 4  # 2 patients x {ED, ES}
+    img, spacing = read_nrrd(str(out / "001" / "ED_img.nrrd"))
+    seg, _ = read_nrrd(str(out / "001" / "ED_seg.nrrd"))
+    # in-plane resampled 2.0mm -> 1.36719mm: 40 * 2/1.36719 = 58.5 -> 58|59
+    assert img.shape[0] == 4 and img.shape[1] in (58, 59)
+    assert seg.shape == img.shape
+    assert spacing[0] == pytest.approx(1.36719) and spacing[2] == 8.0
+    assert 0.0 <= img.min() and img.max() <= 1.0  # percentile-normalized
+    assert set(np.unique(seg)).issubset({0, 1, 2, 3})
+
+
 def test_label_remap_modes():
     lbl = np.array([[0, 1], [2, 3]])
     np.testing.assert_array_equal(
