@@ -19,9 +19,14 @@ DEFAULT_CACHE_DIR = os.path.join(
 def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR,
                              min_compile_time_secs: float = 0.5) -> str:
     """Enable the JAX persistent compilation cache (idempotent; safe to call
-    before or after backend init)."""
+    before or after backend init).  Also makes ``JAX_PLATFORMS=cpu`` actually
+    select CPU: on images where a TPU plugin registers via sitecustomize the
+    env route is silently overridden, so mirror it into jax.config (must run
+    before backend init — every CLI calls this first)."""
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
