@@ -45,6 +45,7 @@ import numpy as np
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
     CardiacACDCDataset,
     _read_volume,
+    probe_format_names,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.nifti import (
     write_nrrd,
@@ -111,11 +112,17 @@ def parse_args():
 
 def main():
     args = parse_args()
+    n_done = 0
     for frame in args.frames:
+        # accept .nii.gz (reference download layout) or .nrrd
+        # (cli/preprocess.py output) trees
+        img_fmt, label_fmt = probe_format_names(args.acdc_root, frame)
         # reference parity: no resampling, no whole-volume normalization
         # before the crop (generate_artefacted_data.py:70-71 loads raw)
         ds = CardiacACDCDataset(root_dir=args.acdc_root, frame=frame,
                                 split="test", data_setting="standard", cval=0,
+                                image_format_name=img_fmt,
+                                label_format_name=label_fmt,
                                 if_resample=False, normalize=False)
         for pid in ds.patient_ids:
             if pid not in TEST_LIST:
@@ -149,7 +156,13 @@ def main():
                         shutil.copyfile(label_src, label_dst)
                     else:
                         os.symlink(os.path.abspath(label_src), label_dst)
+            n_done += 1
             print(f"{frame} {pid}: done")
+    if n_done == 0:
+        raise SystemExit(
+            f"no ACDC test patients found under {args.acdc_root} — expected "
+            f"{{pid}}/{{frame}}_img.nii.gz|.nrrd dirs for the 20-patient test "
+            f"list (data/splits.TEST_LIST)")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ import jax
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
     CardiacACDCDataset,
+    probe_format_names,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.base import (
     ConcatDataset,
@@ -87,20 +88,45 @@ def parse_args():
     return p.parse_args()
 
 
+def _acdc_c_label_format(root: str, frame: str) -> str:
+    """Probe the ACDC-C tree's label naming: the reference's GENERATOR
+    symlinks ``{frame}_label.nrrd`` (generate_artefacted_data.py:104-110,
+    mirrored by cli/generate_acdc_c.py) while its distributed download and
+    test driver use ``{frame}_seg.nii.gz`` (test_ACDC...py:41) — accept
+    whichever the tree actually contains."""
+    for pdir in sorted(os.listdir(root)):
+        full = os.path.join(root, pdir)
+        if not os.path.isdir(full):
+            continue
+        for suffix in ("label.nrrd", "seg.nrrd", "label.nii.gz", "seg.nii.gz"):
+            if os.path.exists(os.path.join(full, f"{frame}_{suffix}")):
+                return "{p_id}/{frame}_" + suffix
+        break
+    return "{p_id}/{frame}_seg.nrrd"
+
+
 def build_datasets(args, cval: int):
     datasets = {}
     if args.synthetic:
         datasets["synthetic"] = SyntheticSegDataset(length=10)
         return datasets
     if args.acdc_root:
-        per_frame = [CardiacACDCDataset(
-            root_dir=args.acdc_root, frame=f, split="test",
-            data_setting=args.data_setting, cval=cval)
-            for f in args.frames]
+        per_frame = []
+        for f in args.frames:
+            # accept .nii.gz (reference layout) or .nrrd (cli/preprocess.py)
+            img_fmt, label_fmt = probe_format_names(args.acdc_root, f)
+            per_frame.append(CardiacACDCDataset(
+                root_dir=args.acdc_root, frame=f, split="test",
+                data_setting=args.data_setting, cval=cval,
+                image_format_name=img_fmt, label_format_name=label_fmt))
         datasets["ACDC"] = ConcatDataset(per_frame)
     if args.mm_root:
-        per_frame = [CardiacMMDataset(root_dir=args.mm_root, frame=f)
-                     for f in args.frames]
+        per_frame = []
+        for f in args.frames:
+            img_fmt, label_fmt = probe_format_names(args.mm_root, f)
+            per_frame.append(CardiacMMDataset(
+                root_dir=args.mm_root, frame=f,
+                image_format_name=img_fmt, label_format_name=label_fmt))
         datasets["MM"] = ConcatDataset(per_frame)
     if args.acdc_c_root:
         for name in CORRUPTION_NAMES:
@@ -115,7 +141,7 @@ def build_datasets(args, cval: int):
                     ds = CardiacMMDataset(
                         root_dir=root, frame=f, dataset_name=name,
                         image_format_name="{p_id}/{frame}_img.nrrd",
-                        label_format_name="{p_id}/{frame}_seg.nrrd",
+                        label_format_name=_acdc_c_label_format(root, f),
                         if_resample=False, normalize=False)
                     # generated ACDC-C volumes ARE at the 1.36719 mm in-plane
                     # grid (no resample on load needed); keep HD/ASD in mm,

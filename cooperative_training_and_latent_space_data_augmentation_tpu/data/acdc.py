@@ -45,6 +45,32 @@ def _read_volume(path: str):
     return read_nifti(path)
 
 
+def probe_format_names(root_dir: str, frame: str = "ED",
+                       img_stem: str = "img", label_stem: str = "seg"):
+    """Detect a tree's file extension and return ``(image_format_name,
+    label_format_name)``.
+
+    The reference's configs expect ``.nii.gz`` (config/ACDC/...json:30-31)
+    but its own offline preprocessor writes ``.nrrd`` (acdc_preprocess.py:
+    139-149) — as does ``cli/preprocess.py`` here — so drivers probe the
+    first patient dir and accept either.  Defaults to ``.nii.gz`` when the
+    tree is empty/undecidable."""
+    try:
+        entries = sorted(os.listdir(root_dir))
+    except OSError:
+        entries = []
+    for name in entries:
+        pdir = join(root_dir, name)
+        if not os.path.isdir(pdir):
+            continue
+        for ext in (".nii.gz", ".nrrd", ".nii"):
+            if os.path.exists(join(pdir, f"{frame}_{img_stem}{ext}")):
+                return ("{p_id}/{frame}_" + img_stem + ext,
+                        "{p_id}/{frame}_" + label_stem + ext)
+    return ("{p_id}/{frame}_" + img_stem + ".nii.gz",
+            "{p_id}/{frame}_" + label_stem + ".nii.gz")
+
+
 class CardiacACDCDataset(SegDatasetBase):
     def __init__(self, root_dir: str, frame: str = "ED", split: str = "train",
                  data_setting: str = "10", cval: int = 0,

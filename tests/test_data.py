@@ -158,6 +158,24 @@ def test_preprocess_acdc_dataset_raw_tree(tmp_path):
     assert set(np.unique(seg)).issubset({0, 1, 2, 3})
 
 
+def test_probe_format_names(tmp_path):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
+        probe_format_names,
+    )
+
+    # empty/undecidable -> reference default (.nii.gz)
+    assert probe_format_names(str(tmp_path))[0].endswith(".nii.gz")
+    # NRRD tree (cli/preprocess.py output) -> .nrrd formats
+    (tmp_path / "001").mkdir()
+    (tmp_path / "001" / "ED_img.nrrd").write_bytes(b"x")
+    img_fmt, lbl_fmt = probe_format_names(str(tmp_path), "ED")
+    assert img_fmt == "{p_id}/{frame}_img.nrrd"
+    assert lbl_fmt == "{p_id}/{frame}_seg.nrrd"
+    # .nii.gz wins when both present (reference layout)
+    (tmp_path / "001" / "ED_img.nii.gz").write_bytes(b"x")
+    assert probe_format_names(str(tmp_path), "ED")[0].endswith(".nii.gz")
+
+
 def test_label_remap_modes():
     lbl = np.array([[0, 1], [2, 3]])
     np.testing.assert_array_equal(
