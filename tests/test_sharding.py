@@ -127,3 +127,41 @@ def test_eval_batcher_indivisible_batch_rejected():
         EvalBatcher(SyntheticSegDataset(length=10, pad_size=(32, 32)),
                     batch_size=6, pad_hw=(32, 32), crop_hw=(32, 32),
                     sharding=batch_sharding(mesh))
+
+
+@pytest.mark.slow
+def test_orbax_restore_across_topology(tmp_path):
+    """README claim: orbax checkpoints restore under ANY device topology.
+    Save a train state produced single-device, restore it replicated over
+    the 8-device mesh, and take a sharded step from it."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1, input_hw=(32, 32))
+    state = solver.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": jnp.asarray(rng.rand(8, 32, 32, 1).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (8, 32, 32)).astype(np.int32)),
+    }
+    step_fn = solver.make_train_step(latent_da=None, donate=False)
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(2))  # non-init state
+    save_checkpoint(str(tmp_path), state, step=0)
+
+    mesh = make_mesh()
+    template = replicate(mesh, solver.init_state(jax.random.PRNGKey(9)))
+    restored = restore_checkpoint(str(tmp_path), template)
+    # values round-trip exactly...
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...with the template's (replicated-over-mesh) sharding
+    leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    assert set(leaf.sharding.device_set) == set(mesh.devices.flat)
+    # and the sharded step runs from the restored state
+    sharded = shard_train_step(step_fn.__wrapped__, mesh, donate=False)
+    out_state, metrics = sharded(restored, shard_batch(mesh, batch),
+                                 replicate(mesh, jax.random.PRNGKey(3)))
+    assert np.isfinite(float(metrics["loss/standard/total"]))
