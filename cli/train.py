@@ -73,7 +73,7 @@ def parse_args():
                    help="bf16 conv compute on the MXU (params/norms/losses f32)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize submodule forwards in the backward "
-                        "(less activation memory; often faster on TPU)")
+                        "(2.3x less activation memory, ~17%% more step time)")
     p.add_argument("--n_devices", type=int, default=None,
                    help="shard the batch over a data-parallel mesh")
     return p.parse_args()
