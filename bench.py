@@ -77,9 +77,11 @@ def _forced_window_time(fn, *args, reps=REPS):
 
 
 def _marginal_step_time(base_step, state, data, key):
-    """Marginal per-step device time via fused-scan K_LARGE vs K_SMALL."""
+    """Marginal per-step device time via fused-scan K_LARGE vs K_SMALL.
+    ``data`` is an explicit jit argument (NOT a closure constant) so its
+    sharding is honored as an input sharding on multi-device meshes."""
 
-    def multi(state, key, K):
+    def multi(state, data, key, K):
         def body(carry, k):
             st, _ = carry
             st, m = base_step(st, data, k)
@@ -91,8 +93,8 @@ def _marginal_step_time(base_step, state, data, key):
 
     times = {}
     for K in (K_SMALL, K_LARGE):
-        f = jax.jit(lambda s, k, K=K: multi(s, k, K))
-        times[K] = _forced_window_time(f, state, key)
+        f = jax.jit(lambda s, d, k, K=K: multi(s, d, k, K))
+        times[K] = _forced_window_time(f, state, data, key)
     return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
 
 
@@ -180,20 +182,31 @@ def main():
                    "192x192, latent_DA on)"),
         "value": round(per_chip, 2),
         "unit": "slices/sec/chip",
-        "vs_baseline": round(per_chip / NOMINAL_BASELINE_SLICES_PER_SEC, 3),
         "step_time_ms": round(1e3 * step_s, 2),
         "measurement": ("fused-scan marginal (K=40 vs K=10, value-forced); "
                         "block_until_ready does not wait on tunneled "
                         "backends — earlier rounds' naive timings were "
                         "~50x inflated and are void"),
     }
+    if batch // n_devices == 20:
+        # the nominal baseline is defined at the reference's batch 20;
+        # comparing a different batch against it would be apples-to-oranges
+        out["vs_baseline"] = round(per_chip / NOMINAL_BASELINE_SLICES_PER_SEC, 3)
+    else:
+        out["vs_baseline_note"] = (
+            f"omitted: baseline is defined at batch 20/chip, this run used "
+            f"{batch // n_devices}")
     if flops == flops:
         out["xla_logical_tflops_per_s_per_chip"] = round(
             flops / step_s / n_devices / 1e12, 2)
-    try:
-        out["matmul_calib_tflops_per_s"] = round(_matmul_calibration() / 1e12, 1)
-    except Exception:
-        pass
+    if jax.default_backend() == "tpu":
+        # skip on CPU: ~350 TFLOPs of calibration matmuls have no business
+        # running on a host backend
+        try:
+            out["matmul_calib_tflops_per_s"] = round(
+                _matmul_calibration() / 1e12, 1)
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

@@ -147,9 +147,13 @@ def main():
                                full.astype(np.float32),
                                spacing=tuple(float(s) for s in src_spacing))
                     # original full-size label alongside (reference symlinks,
-                    # generate_artefacted_data.py:103-110)
+                    # generate_artefacted_data.py:103-110); keep the SOURCE
+                    # extension so suffix-dispatching readers parse it
+                    # correctly (a .nii.gz label must not be named .nrrd)
                     label_src = ds._label_path(pid)
-                    label_dst = join(out_dir, f"{frame}_label.nrrd")
+                    label_ext = next(e for e in (".nii.gz", ".nrrd", ".nii")
+                                     if label_src.endswith(e))
+                    label_dst = join(out_dir, f"{frame}_label{label_ext}")
                     if os.path.islink(label_dst) or os.path.exists(label_dst):
                         os.unlink(label_dst)
                     if args.copy_labels:

@@ -88,23 +88,6 @@ def parse_args():
     return p.parse_args()
 
 
-def _acdc_c_label_format(root: str, frame: str) -> str:
-    """Probe the ACDC-C tree's label naming: the reference's GENERATOR
-    symlinks ``{frame}_label.nrrd`` (generate_artefacted_data.py:104-110,
-    mirrored by cli/generate_acdc_c.py) while its distributed download and
-    test driver use ``{frame}_seg.nii.gz`` (test_ACDC...py:41) — accept
-    whichever the tree actually contains."""
-    for pdir in sorted(os.listdir(root)):
-        full = os.path.join(root, pdir)
-        if not os.path.isdir(full):
-            continue
-        for suffix in ("label.nrrd", "seg.nrrd", "label.nii.gz", "seg.nii.gz"):
-            if os.path.exists(os.path.join(full, f"{frame}_{suffix}")):
-                return "{p_id}/{frame}_" + suffix
-        break
-    return "{p_id}/{frame}_seg.nrrd"
-
-
 def build_datasets(args, cval: int):
     datasets = {}
     if args.synthetic:
@@ -132,16 +115,20 @@ def build_datasets(args, cval: int):
         for name in CORRUPTION_NAMES:
             root = os.path.join(args.acdc_c_root, name)
             if os.path.isdir(root):
-                # ACDC-C volumes are NRRD ({attack}/{pid}_{seed}/{frame}_img.nrrd,
+                # ACDC-C volumes ({attack}/{pid}_{seed}/{frame}_img.*,
                 # written by cli/generate_acdc_c.py mirroring
-                # generate_artefacted_data.py:66-110) and already preprocessed —
-                # no resample/normalize on load.
+                # generate_artefacted_data.py:66-110) are already
+                # preprocessed — no resample/normalize on load.  Naming is
+                # probed: the generator writes {frame}_label beside the
+                # image (possibly with the SOURCE label's extension), the
+                # reference's distributed download uses {frame}_seg.nii.gz.
                 per_frame = []
                 for f in args.frames:
+                    img_fmt, label_fmt = probe_format_names(root, f)
                     ds = CardiacMMDataset(
                         root_dir=root, frame=f, dataset_name=name,
-                        image_format_name="{p_id}/{frame}_img.nrrd",
-                        label_format_name=_acdc_c_label_format(root, f),
+                        image_format_name=img_fmt,
+                        label_format_name=label_fmt,
                         if_resample=False, normalize=False)
                     # generated ACDC-C volumes ARE at the 1.36719 mm in-plane
                     # grid (no resample on load needed); keep HD/ASD in mm,

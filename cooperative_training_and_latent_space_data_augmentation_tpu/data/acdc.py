@@ -45,16 +45,26 @@ def _read_volume(path: str):
     return read_nifti(path)
 
 
+_PROBE_EXTS = (".nii.gz", ".nrrd", ".nii")
+
+
 def probe_format_names(root_dir: str, frame: str = "ED",
-                       img_stem: str = "img", label_stem: str = "seg"):
-    """Detect a tree's file extension and return ``(image_format_name,
+                       img_stem: str = "img",
+                       label_stems: Sequence[str] = ("seg", "label")):
+    """Detect a tree's file naming and return ``(image_format_name,
     label_format_name)``.
 
     The reference's configs expect ``.nii.gz`` (config/ACDC/...json:30-31)
     but its own offline preprocessor writes ``.nrrd`` (acdc_preprocess.py:
     139-149) — as does ``cli/preprocess.py`` here — so drivers probe the
-    first patient dir and accept either.  Defaults to ``.nii.gz`` when the
-    tree is empty/undecidable."""
+    patient dirs and accept either.  Labels additionally probe multiple
+    stems (and their own extension, which can differ from the image's: the
+    ACDC-C generator symlinks the SOURCE label, generate_artefacted_data.py:
+    104-110, so an ``.nrrd`` image can sit beside an ``.nii.gz`` label):
+    the reference's distributed test sets use ``{frame}_seg``, its ACDC-C
+    generator writes ``{frame}_label``.  Defaults to ``.nii.gz``/``seg``
+    when the tree is empty/undecidable.  Probing continues past dirs
+    without a match (stray/partial dirs don't poison the result)."""
     try:
         entries = sorted(os.listdir(root_dir))
     except OSError:
@@ -63,12 +73,17 @@ def probe_format_names(root_dir: str, frame: str = "ED",
         pdir = join(root_dir, name)
         if not os.path.isdir(pdir):
             continue
-        for ext in (".nii.gz", ".nrrd", ".nii"):
-            if os.path.exists(join(pdir, f"{frame}_{img_stem}{ext}")):
-                return ("{p_id}/{frame}_" + img_stem + ext,
-                        "{p_id}/{frame}_" + label_stem + ext)
+        for ext in _PROBE_EXTS:
+            if not os.path.exists(join(pdir, f"{frame}_{img_stem}{ext}")):
+                continue
+            img_fmt = "{p_id}/{frame}_" + img_stem + ext
+            for stem in label_stems:
+                for lext in (ext,) + tuple(e for e in _PROBE_EXTS if e != ext):
+                    if os.path.exists(join(pdir, f"{frame}_{stem}{lext}")):
+                        return img_fmt, "{p_id}/{frame}_" + stem + lext
+            return img_fmt, "{p_id}/{frame}_" + label_stems[0] + ext
     return ("{p_id}/{frame}_" + img_stem + ".nii.gz",
-            "{p_id}/{frame}_" + label_stem + ".nii.gz")
+            "{p_id}/{frame}_" + label_stems[0] + ".nii.gz")
 
 
 class CardiacACDCDataset(SegDatasetBase):

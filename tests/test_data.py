@@ -165,13 +165,24 @@ def test_probe_format_names(tmp_path):
 
     # empty/undecidable -> reference default (.nii.gz)
     assert probe_format_names(str(tmp_path))[0].endswith(".nii.gz")
+    # stray dir without a match is skipped (probing continues)
+    (tmp_path / "000_stray").mkdir()
     # NRRD tree (cli/preprocess.py output) -> .nrrd formats
     (tmp_path / "001").mkdir()
     (tmp_path / "001" / "ED_img.nrrd").write_bytes(b"x")
     img_fmt, lbl_fmt = probe_format_names(str(tmp_path), "ED")
     assert img_fmt == "{p_id}/{frame}_img.nrrd"
     assert lbl_fmt == "{p_id}/{frame}_seg.nrrd"
-    # .nii.gz wins when both present (reference layout)
+    # ACDC-C generator naming: {frame}_label, extension may differ from the
+    # image's (symlinked source label) — stem AND extension are probed
+    (tmp_path / "001" / "ED_label.nii.gz").write_bytes(b"x")
+    img_fmt, lbl_fmt = probe_format_names(str(tmp_path), "ED")
+    assert img_fmt == "{p_id}/{frame}_img.nrrd"
+    assert lbl_fmt == "{p_id}/{frame}_label.nii.gz"
+    # a real seg match (same ext) beats the label fallback
+    (tmp_path / "001" / "ED_seg.nrrd").write_bytes(b"x")
+    assert probe_format_names(str(tmp_path), "ED")[1] == "{p_id}/{frame}_seg.nrrd"
+    # .nii.gz wins when both image extensions present (reference layout)
     (tmp_path / "001" / "ED_img.nii.gz").write_bytes(b"x")
     assert probe_format_names(str(tmp_path), "ED")[0].endswith(".nii.gz")
 
