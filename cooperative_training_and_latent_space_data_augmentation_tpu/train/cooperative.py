@@ -500,28 +500,54 @@ class CooperativeTripletSolver:
         return jax.jit(lambda params, stats, x: fn(params, stats, x))
 
     def slow_refinement(self, params, stats, pred_logit, n_steps: int = 1,
-                        auto_stop: bool = False, tol: float = 1e-4):
-        """Iterative STN refinement with optional RMS-diff early stop
-        (advanced...py:608-641), as a lax.while_loop (jit-safe)."""
+                        auto_stop: bool = False, tol: float = 1e-4,
+                        save_internal_predicts: bool = False):
+        """LITERAL reference semantics (advanced...py:608-641).
 
-        def cond(carry):
-            i, s_t, prev, diff = carry
-            not_done = i < n_steps
-            if auto_stop:
-                return jnp.logical_and(not_done, diff >= tol)
-            return not_done
+        The reference's inner loop computes ``s_t = recon_shape(pred_logit)``
+        each step — always on the ORIGINAL argument, never on the previous
+        refinement — so the value semantics collapse statically:
 
-        def body(carry):
-            i, s_t, prev, _ = carry
-            new, _ = self.recon_shape(params, stats, jax.lax.stop_gradient(s_t),
+        * n_steps >= 1, no auto_stop: result = recon_shape(pred_logit)
+          (every iteration recomputes the same value).
+        * auto_stop: at step 0, diff = RMS(pred_logit - refined); if
+          diff < tol the reference restores ``s_t = prev`` — the UNREFINED
+          input — and breaks.  From step 1 on, prev == s_t == refined
+          bitwise (eval-mode STN is deterministic), so diff == 0 < tol and
+          the restored ``prev`` is still ``refined``.  Net:
+          result = where(RMS(pred - refined) < tol, pred_logit, refined).
+        * n_steps == 0: the loop body never runs; result = pred_logit.
+
+        ``save_internal_predicts`` reproduces the reference's dict including
+        its index-0 quirk (pre-seeded with the input, then overwritten by the
+        first refinement).  One jit-safety deviation: the dict's KEY SET
+        cannot depend on traced values, so under auto_stop with n_steps >= 2
+        key 1 is always present (its value duplicates key 0's when the step-0
+        stop fired, exactly where the reference would have truncated).
+        Value equivalence for n_steps in {1,2,3} is pinned by
+        tests/test_cooperative.py.
+        """
+        internal = {0: [pred_logit]}
+        if n_steps < 1:
+            return (pred_logit, internal) if save_internal_predicts \
+                else pred_logit
+        refined, _ = self.recon_shape(params, stats,
+                                      jax.lax.stop_gradient(pred_logit),
                                       is_label_map=False, train=False)
-            diff = jnp.sqrt(jnp.mean((new - s_t) ** 2))
-            return (i + 1, new, s_t, diff)
-
-        init = (jnp.zeros((), jnp.int32), pred_logit, pred_logit,
-                jnp.asarray(jnp.inf, pred_logit.dtype))
-        _, s_t, _, _ = jax.lax.while_loop(cond, body, init)
-        return s_t
+        if auto_stop:
+            diff0 = jnp.sqrt(jnp.mean((pred_logit - refined) ** 2))
+            stop0 = diff0 < tol
+            s_t = jnp.where(stop0, pred_logit, refined)
+            internal[0] = [s_t]
+            if n_steps >= 2:
+                # reached only when step 0 did not stop; step 1 always stops
+                # (diff == 0) and restores prev == refined == s_t.
+                internal[1] = [s_t]
+        else:
+            s_t = refined
+            for i in range(n_steps):
+                internal[i] = [refined]
+        return (s_t, internal) if save_internal_predicts else s_t
 
     def evaluate(self, params, stats, x, targets, running_metric,
                  n_iter: Optional[int] = None):

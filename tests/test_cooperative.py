@@ -163,6 +163,60 @@ def test_slow_refinement_auto_stop(solver, state):
     assert np.isfinite(np.asarray(refined)).all()
 
 
+def test_slow_refinement_literal_semantics(solver, state):
+    """Pin the reference's literal inner-loop behavior
+    (advanced...py:608-641): every inner step re-applies the STN to the
+    ORIGINAL pred_logit, so the result equals ONE recon_shape pass for any
+    n_steps >= 1 — and predict(n_iter) therefore chains recon_shape through
+    its OUTER loop only (n_iter - 1 applications, advanced...py:375-394)."""
+    batch = _batch()
+    _, pred, _ = solver.fast_predict(state.params, state.batch_stats,
+                                     batch["image"], train=False)
+    one_pass, _ = solver.recon_shape(state.params, state.batch_stats, pred,
+                                     is_label_map=False, train=False)
+    for n_steps in (1, 2, 3):
+        out = solver.slow_refinement(state.params, state.batch_stats, pred,
+                                     n_steps=n_steps)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(one_pass))
+    # n_steps=0: loop body never runs; the input comes back unchanged
+    out0 = solver.slow_refinement(state.params, state.batch_stats, pred,
+                                  n_steps=0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(pred))
+
+    # auto_stop with a huge tol: step-0 diff < tol -> the reference restores
+    # prev == the UNREFINED input and breaks
+    out_stop = solver.slow_refinement(state.params, state.batch_stats, pred,
+                                      n_steps=3, auto_stop=True, tol=1e9)
+    np.testing.assert_array_equal(np.asarray(out_stop), np.asarray(pred))
+    # auto_stop with tiny tol: step 0 refines, step 1 stops at diff == 0
+    # having restored prev == refined
+    out_go = solver.slow_refinement(state.params, state.batch_stats, pred,
+                                    n_steps=3, auto_stop=True, tol=1e-30)
+    np.testing.assert_array_equal(np.asarray(out_go), np.asarray(one_pass))
+
+    # save_internal_predicts: reference dict layout incl. the index-0
+    # overwrite quirk (internal[0] = first refinement, not the input)
+    out_i, internal = solver.slow_refinement(
+        state.params, state.batch_stats, pred, n_steps=3,
+        save_internal_predicts=True)
+    assert sorted(internal) == [0, 1, 2]
+    for i in internal:
+        np.testing.assert_array_equal(np.asarray(internal[i][0]),
+                                      np.asarray(one_pass))
+
+    # predict(n_iter) == fast_predict chained through (n_iter-1) outer
+    # recon_shape passes
+    chained = pred
+    for n_iter in (1, 2, 3):
+        via_predict = solver.predict(state.params, state.batch_stats,
+                                     batch["image"], n_iter=n_iter)
+        np.testing.assert_allclose(np.asarray(via_predict),
+                                   np.asarray(chained), rtol=0, atol=0)
+        chained, _ = solver.recon_shape(state.params, state.batch_stats,
+                                        chained, is_label_map=False,
+                                        train=False)
+
+
 def test_network_variants():
     """share_code: z_i == z_s; w_o_filter: z_s == z_i (advanced...py:199-203)."""
     batch = _batch()
