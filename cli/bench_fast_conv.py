@@ -45,13 +45,14 @@ STAGES = [(192, 1, 16), (192, 16, 16), (96, 16, 32), (96, 32, 32),
 
 
 def stock(x, w):
+    # no preferred_element_type: matches flax nn.Conv's lowering, and the
+    # conv transpose rule rejects f32-output/bf16-weight mixes under grad
     return lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def time_pair(batch, h, cin, cout, dtype):
+def time_pair(batch, h, cin, cout, dtype, k_small=100, k_large=400):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, h, h, cin), dtype)
     w = jax.random.normal(key, (3, 3, cin, cout), dtype) * 0.1
@@ -60,7 +61,8 @@ def time_pair(batch, h, cin, cout, dtype):
            "f": pick_pack_factor(h, cin, cout)}
     for name, fn in (("stock", stock), ("stair", staircase_conv3x3)):
         t_f = fused_scan_marginal(
-            lambda K: serialize_scan(lambda c: fn(x + c.astype(dtype), w), K))
+            lambda K: serialize_scan(lambda c: fn(x + c.astype(dtype), w), K),
+            k_small=k_small, k_large=k_large, reps=4)
 
         def loss(x_, w_, fn=fn):
             return jnp.mean(fn(x_, w_).astype(jnp.float32))
@@ -72,7 +74,8 @@ def time_pair(batch, h, cin, cout, dtype):
             return (v + jnp.mean(gx.astype(jnp.float32))
                     + jnp.mean(gw.astype(jnp.float32)))[None]
 
-        t_b = fused_scan_marginal(lambda K: serialize_scan(bwd, K))
+        t_b = fused_scan_marginal(lambda K: serialize_scan(bwd, K),
+                                  k_small=k_small, k_large=k_large, reps=4)
         out[f"{name}_fwd_ms"] = round(1e3 * t_f, 3)
         out[f"{name}_fwdbwd_ms"] = round(1e3 * t_b, 3)
         out[f"{name}_fwd_tflops"] = round(flops / t_f / 1e12, 1)
@@ -88,10 +91,13 @@ def main():
     ap.add_argument("--batch", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--k_small", type=int, default=100)
+    ap.add_argument("--k_large", type=int, default=400)
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     for h, cin, cout in STAGES:
-        print(json.dumps(time_pair(args.batch, h, cin, cout, dtype)),
+        print(json.dumps(time_pair(args.batch, h, cin, cout, dtype,
+                                   args.k_small, args.k_large)),
               flush=True)
 
 

@@ -68,6 +68,15 @@ def parse_args():
                         "saves (msgpack/pkl reference formats still written)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic phantom dataset (CPU-runnable smoke)")
+    p.add_argument("--synthetic_train_length", type=int, default=20,
+                   help="synthetic train slices (use ~190 for an ACDC-10-"
+                        "scale epoch-throughput measurement)")
+    p.add_argument("--synthetic_val_length", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override config batch size (batch-scaling ablations)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override config learning rate (e.g. linear scaling "
+                        "with batch size)")
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 conv compute on the MXU (params/norms/losses f32)")
@@ -81,9 +90,11 @@ def parse_args():
 
 def build_datasets(cfg: ExperimentConfig, args):
     if args.synthetic:
-        train = SyntheticSegDataset(length=20, pad_size=cfg.data.pad_hw,
+        train = SyntheticSegDataset(length=args.synthetic_train_length,
+                                    pad_size=cfg.data.pad_hw,
                                     num_classes=cfg.data.num_classes, seed=0)
-        val = SyntheticSegDataset(length=10, pad_size=cfg.data.pad_hw,
+        val = SyntheticSegDataset(length=args.synthetic_val_length,
+                                  pad_size=cfg.data.pad_hw,
                                   num_classes=cfg.data.num_classes, seed=1)
         return train, val
     sets = {"train": [], "validate": []}
@@ -108,6 +119,10 @@ def main():
            if args.json_config_path else ExperimentConfig())
     config_name = (os.path.splitext(os.path.basename(args.json_config_path))[0]
                    if args.json_config_path else "default")
+    if args.batch_size is not None:
+        cfg.learning.batch_size = args.batch_size
+    if args.lr is not None:
+        cfg.learning.lr = args.lr
     train_set, val_set = build_datasets(cfg, args)
     log_dir, model_dir = experiment_dirs(
         args.save_dir, cfg.data.dataset_name, args.data_setting,

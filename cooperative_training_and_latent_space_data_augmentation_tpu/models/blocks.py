@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.fast_conv import (
+    Conv as FastConv,  # nn.Conv drop-in; staircase-packs small-ch 3x3 s1
+)
+
 # Torch BatchNorm2d defaults: momentum=0.1 (i.e. flax momentum 0.9), eps=1e-5.
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
@@ -159,12 +163,12 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt = self.dtype or x.dtype
-        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=dt)(x)
+        x = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                     dtype=dt)(x)
         x = BatchNorm()(x, use_running_average=not train)
         x = leaky_relu(x)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=dt)(x)
+        x = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                     dtype=dt)(x)
         x = BatchNorm()(x, use_running_average=not train)
         return x
 
@@ -181,12 +185,12 @@ class _ResCore(nn.Module):
         dt = self.dtype or x.dtype
         shortcut = nn.Conv(self.features, (1, 1), kernel_init=conv_kernel_init,
                            dtype=dt)(x)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=dt)(x)
+        h = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                     dtype=dt)(x)
         h = BatchNorm()(h, use_running_average=not train)
         h = leaky_relu(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                    dtype=dt)(h)
+        h = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
+                     dtype=dt)(h)
         h = BatchNorm()(h, use_running_average=not train)
         out = leaky_relu(shortcut.astype(h.dtype) + h)
         if self.dropout is not None and self.dropout > 0:

@@ -29,6 +29,13 @@ stages.  Everything is plain jax.numpy / lax.conv, so jax.grad
 differentiates it and the transposed matmuls in the backward are full-width
 too (the wgrad of the packed conv is a (M x 128)^T @ (M x 128) product).
 
+MEASURED OUTCOME (v5e, bench.py end-to-end A/B, batch 20 bf16): the packed
+path is 253.4 ms/step vs 182.7 ms stock — a 39 % LOSS despite the cost
+model.  The width-packing relayouts (lane-crossing reshapes) and boundary
+scatter-adds cost more than the recovered MXU lanes.  Default is therefore
+OFF (see :func:`fast_conv_enabled`); this module remains as an opt-in
+measurement vehicle and a documented negative result.
+
 Verified element-exact (to accumulation tolerance) against
 ``lax.conv_general_dilated`` in tests/test_fast_conv.py.
 """
@@ -99,11 +106,15 @@ def _correction_matrix(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv31(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """(3,1)-window SAME conv over (H, Wp) — XLA lowers to K=N=full matmuls."""
+    """(3,1)-window SAME conv over (H, Wp) — XLA lowers to K=N=full matmuls.
+
+    No ``preferred_element_type``: matches stock ``nn.Conv`` lowering (the
+    MXU still accumulates bf16 inputs in f32 internally), and jax's conv
+    transpose rule rejects the f32-output/bf16-weight mix under grad.
+    """
     return lax.conv_general_dilated(
         x, m, window_strides=(1, 1), padding=((1, 1), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def staircase_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
@@ -122,11 +133,9 @@ def staircase_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     if f is None:
         f = pick_pack_factor(width, cin, cout)
     if f <= 1:
-        out = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        return out.astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     assert width % f == 0, (width, f)
     wp = width // f
     xp = x.reshape(n, h, wp, f * cin)
@@ -146,9 +155,16 @@ def staircase_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
 
 
 def fast_conv_enabled() -> bool:
-    """Global A/B switch (trace-time): FAST_CONV=0 reverts every Conv below
-    to the stock nn.Conv lowering (used by benches to measure the delta)."""
-    return os.environ.get("FAST_CONV", "1") != "0"
+    """Global A/B switch (trace-time), default OFF.
+
+    Measured end-to-end on the v5e (bench.py, batch 20 bf16): staircase
+    253.4 ms/step vs stock 182.7 ms — the packed reformulation LOSES 39 %
+    despite the dense-MXU cost model predicting a multi-x win; the
+    width-packing relayouts and boundary scatter-adds cost more than the
+    extra MXU lanes recover (same verdict as round 2's 9-shifted-matmul
+    attempt, RESULTS.md).  Kept as an opt-in (FAST_CONV=1) measurement
+    vehicle; the production path is stock XLA convs."""
+    return os.environ.get("FAST_CONV", "0") == "1"
 
 
 class Conv(nn.Conv):

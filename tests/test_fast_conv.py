@@ -18,10 +18,10 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.fast_conv i
 
 
 def stock(x, w):
+    # matches flax nn.Conv's lowering (no preferred_element_type)
     return lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _mk(h, w, cin, cout, dtype=jnp.float32, seed=0):
