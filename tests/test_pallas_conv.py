@@ -1,0 +1,78 @@
+"""CHW-lanes Pallas conv kernel tests (interpret mode on the CPU backend).
+
+Validates ops/pallas_conv.py against stock lax.conv_general_dilated for the
+small-channel 3x3 SAME stages of the cooperative conv stack
+(medseg/models/ebm/encoder_decoder.py:19-348 re-designed in models/blocks.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+    chw_to_nhwc,
+    conv3x3_chw,
+    conv3x3_nhwc_via_chw,
+    nhwc_to_chw,
+    weights_to_wall,
+)
+
+
+def _stock(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("h,cin,cout", [
+    (16, 16, 16),    # chunkless (H*W = 256 lanes)
+    (32, 16, 32),    # 1024 lanes
+    (16, 3, 8),      # non-pow2 C_in
+    (48, 16, 16),    # chunked path (2304 lanes -> chunk split)
+])
+def test_matches_stock_conv(h, cin, cout, np_rng):
+    x = jnp.asarray(np_rng.randn(2, h, h, cin).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+    got = conv3x3_nhwc_via_chw(x, w, interpret=True)
+    want = _stock(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_zero_padding_at_edges(np_rng):
+    # an all-ones input with an all-ones kernel counts the in-bounds taps:
+    # corners see 4, edges 6, interior 9 — SAME zero-padding semantics
+    h, c = 16, 4
+    x = jnp.ones((1, h, h, c), jnp.float32)
+    w = jnp.ones((3, 3, c, 1), jnp.float32)
+    out = np.asarray(conv3x3_nhwc_via_chw(x, w, interpret=True))[0, :, :, 0]
+    assert out[0, 0] == 4 * c and out[0, -1] == 4 * c
+    assert out[0, 5] == 6 * c and out[5, 0] == 6 * c
+    assert out[7, 7] == 9 * c
+
+
+def test_layout_round_trip(np_rng):
+    x = jnp.asarray(np_rng.randn(3, 8, 8, 5).astype(np.float32))
+    back = chw_to_nhwc(nhwc_to_chw(x), 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_weights_to_wall_layout(np_rng):
+    w = jnp.asarray(np_rng.randn(3, 3, 4, 6).astype(np.float32))
+    wall = np.asarray(weights_to_wall(w))
+    assert wall.shape == (6, 36)
+    for t in range(9):
+        ki, kj = divmod(t, 3)
+        np.testing.assert_array_equal(wall[:, t * 4:(t + 1) * 4],
+                                      np.asarray(w)[ki, kj].T)
+
+
+def test_chw_entry_point_matches_nhwc(np_rng):
+    x = jnp.asarray(np_rng.randn(2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, 8, 8).astype(np.float32))
+    via_chw = conv3x3_chw(nhwc_to_chw(x), w, H=16, W=16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(chw_to_nhwc(via_chw, 16, 16)),
+        np.asarray(conv3x3_nhwc_via_chw(x, w, interpret=True)))
