@@ -174,6 +174,7 @@ def make_torch_predict(solver, n_iter: int = 2):
 def heldout_eval(solver, acdc_root: str, num_classes: int = 4):
     from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
         CardiacACDCDataset,
+        probe_format_names,
     )
     from cooperative_training_and_latent_space_data_augmentation_tpu.data.base import (
         ConcatDataset,
@@ -182,10 +183,14 @@ def heldout_eval(solver, acdc_root: str, num_classes: int = 4):
         TestSegmentationNetwork,
     )
 
+    img_fmt, lbl_fmt = probe_format_names(acdc_root)
     sets = [CardiacACDCDataset(
         root_dir=acdc_root, frame=frame, split="test", data_setting="10",
         cval=0, pad_size=(224, 224), num_classes=num_classes, use_cache=False,
+        image_format_name=img_fmt, label_format_name=lbl_fmt,
         seed=0) for frame in ("ED", "ES")]
+    assert sum(len(s) for s in sets) > 0, (
+        f"no test volumes found under {acdc_root}")
     tester = TestSegmentationNetwork(
         ConcatDataset(sets), make_torch_predict(solver, n_iter=2),
         num_classes=num_classes, metrics_list=("Dice",))
