@@ -26,7 +26,15 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.data.base impor
 from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
     make_batch_augment,
     make_batch_eval_transform,
+    make_batch_train_pipeline,
+    make_batch_train_pipeline_indexed,
 )
+
+# Auto device-cache datasets up to this many bytes of padded image+label
+# data (v5e has 16 GB HBM; the full 70-subject ACDC slice set at 224^2 is
+# ~0.5 GB): per-iteration host->device sample transfer over the tunneled
+# backend otherwise rivals the train-step time itself.
+DEVICE_CACHE_LIMIT_BYTES = 2 * 1024 ** 3
 
 
 class BatchSampler:
@@ -138,7 +146,7 @@ class CooperativeBatcher:
                  policy_name: str, pad_hw=(224, 224), crop_hw=(192, 192),
                  num_classes: int = 4, keep_orig: bool = True,
                  shuffle: bool = True, seed: Optional[int] = 0,
-                 sharding=None):
+                 sharding=None, device_cache: Optional[bool] = None):
         self.dataset = dataset
         self.keep_orig = keep_orig
         raw_bs = max(batch_size // 2, 1) if keep_orig else batch_size
@@ -148,7 +156,28 @@ class CooperativeBatcher:
         self.augment = make_batch_augment(policy_name, pad_hw, crop_hw,
                                           num_classes)
         self.eval_transform = make_batch_eval_transform(pad_hw, crop_hw)
+        self.pipeline = make_batch_train_pipeline(policy_name, pad_hw, crop_hw,
+                                                  num_classes, keep_orig)
+        self.pipeline_idx = make_batch_train_pipeline_indexed(
+            policy_name, pad_hw, crop_hw, num_classes, keep_orig)
         self.sharding = sharding
+        if device_cache is None:
+            # ~5 bytes/pixel: f32 image + uint8 label, padded resolution
+            est = len(dataset) * pad_hw[0] * pad_hw[1] * 5
+            device_cache = est <= DEVICE_CACHE_LIMIT_BYTES
+        self.device_cache = device_cache
+        self._cached = None
+
+    def _device_dataset(self):
+        """Upload the full padded dataset once (image f32 + label uint8);
+        per-epoch cost drops to one small index transfer per batch."""
+        if self._cached is None:
+            raw = collate(self.dataset, np.arange(len(self.dataset)))
+            self._cached = (
+                jax.numpy.asarray(raw["image"]),
+                jax.numpy.asarray(raw["label"].astype(np.uint8)),
+            )
+        return self._cached
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -164,22 +193,28 @@ class CooperativeBatcher:
         background thread; ALL jax dispatch happens on the caller's thread
         (dispatching from a second thread deadlocks on some experimental
         backends, e.g. the axon TPU tunnel)."""
+        if self.device_cache:
+            img_all, lbl_all = self._device_dataset()
+            for indices in self.sampler.epoch():
+                rng_key, sub = jax.random.split(rng_key)
+                idx = jax.numpy.asarray(indices.astype(np.int32))
+                batch = self.pipeline_idx(sub, img_all, lbl_all, idx)
+                if self.sharding is not None:
+                    batch = jax.device_put(batch, self.sharding)
+                yield batch
+            return
         raw_it = self.raw_epoch()
         if prefetch_size:
             raw_it = prefetch(raw_it, prefetch_size)
         for raw in raw_it:
             rng_key, sub = jax.random.split(rng_key)
             img = jax.numpy.asarray(raw["image"])
-            lbl = jax.numpy.asarray(raw["label"])
-            aug_img, aug_lbl = self.augment(sub, img, lbl)
-            if self.keep_orig:
-                orig_img, orig_lbl = self.eval_transform(img, lbl)
-                batch = {
-                    "image": jax.numpy.concatenate([aug_img, orig_img], axis=0),
-                    "label": jax.numpy.concatenate([aug_lbl, orig_lbl], axis=0),
-                }
-            else:
-                batch = {"image": aug_img, "label": aug_lbl}
+            # class ids fit uint8: 4x smaller host->device transfer over the
+            # tunnel; the fused pipeline casts back to int32 on device.
+            lbl = jax.numpy.asarray(raw["label"].astype(np.uint8))
+            # one dispatch for augment + keep_orig concat (per-op dispatch
+            # over the tunneled backend is an RPC round trip each)
+            batch = self.pipeline(sub, img, lbl)
             if self.sharding is not None:
                 batch = jax.device_put(batch, self.sharding)
             yield batch
@@ -196,7 +231,8 @@ class EvalBatcher:
     or running on one device while the rest idle."""
 
     def __init__(self, dataset: SegDatasetBase, batch_size: int,
-                 pad_hw=(224, 224), crop_hw=(192, 192), sharding=None):
+                 pad_hw=(224, 224), crop_hw=(192, 192), sharding=None,
+                 device_cache: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = BatchSampler(len(dataset), batch_size, shuffle=False,
@@ -208,11 +244,16 @@ class EvalBatcher:
             assert batch_size % n_dev == 0, (
                 f"eval batch_size {batch_size} must divide over the "
                 f"{n_dev}-device mesh")
+        if device_cache is None:
+            est = len(dataset) * crop_hw[0] * crop_hw[1] * 8
+            device_cache = est <= DEVICE_CACHE_LIMIT_BYTES
+        self.device_cache = device_cache
+        self._cached_batches = None
 
     def __len__(self) -> int:
         return len(self.sampler)
 
-    def epoch(self) -> Iterator[Dict[str, jax.Array]]:
+    def _build_epoch(self):
         from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
             pad_batch_to_multiple,
         )
@@ -227,3 +268,21 @@ class EvalBatcher:
                 batch = jax.device_put(batch, self.sharding)
             batch["real_count"] = real_count  # plain int; added post-device_put
             yield batch
+
+    def epoch(self) -> Iterator[Dict[str, jax.Array]]:
+        # The eval transform is deterministic, so the device-side batches
+        # are identical every epoch: cache them on device after the first
+        # pass and re-yield (validation then costs ZERO host->device
+        # transfer per epoch — it runs every epoch for model selection,
+        # train...py:249-255).
+        if not self.device_cache:
+            yield from self._build_epoch()
+            return
+        if self._cached_batches is None:
+            cached = []
+            for batch in self._build_epoch():
+                cached.append(batch)
+                yield batch
+            self._cached_batches = cached
+        else:
+            yield from self._cached_batches

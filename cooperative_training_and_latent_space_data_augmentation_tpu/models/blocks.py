@@ -29,8 +29,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cooperative_training_and_latent_space_data_augmentation_tpu.ops.fast_conv import (
-    Conv as FastConv,  # nn.Conv drop-in; staircase-packs small-ch 3x3 s1
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+    Conv as FastConv,  # nn.Conv drop-in; CHW-lanes Pallas kernel for eligible
+    # small-channel 3x3 s1 stages (falls back to the staircase drop-in, then
+    # stock nn.Conv, by toggle/eligibility)
 )
 
 # Torch BatchNorm2d defaults: momentum=0.1 (i.e. flax momentum 0.9), eps=1e-5.

@@ -704,3 +704,61 @@ def make_batch_eval_transform(pad_hw=(224, 224), crop_hw=(192, 192)):
             lambda i, l: eval_transform_sample(i, l, pad_hw, crop_hw))(images, labels)
 
     return run
+
+
+def _train_batch_body(key, images, labels, policy, pad_hw, crop_hw,
+                      num_classes, keep_orig):
+    labels = labels.astype(jnp.int32)
+    keys = jax.random.split(key, images.shape[0])
+    aug_i, aug_l = jax.vmap(
+        lambda k, i, l: augment_sample(k, i, l, policy, pad_hw, crop_hw,
+                                       num_classes))(keys, images, labels)
+    if not keep_orig:
+        return {"image": aug_i, "label": aug_l}
+    orig_i, orig_l = jax.vmap(
+        lambda i, l: eval_transform_sample(i, l, pad_hw, crop_hw))(
+            images, labels)
+    return {"image": jnp.concatenate([aug_i, orig_i], axis=0),
+            "label": jnp.concatenate([aug_l, orig_l], axis=0)}
+
+
+def make_batch_train_pipeline(policy_name: str, pad_hw=(224, 224),
+                              crop_hw=(192, 192), num_classes: int = 4,
+                              keep_orig: bool = True):
+    """ONE-dispatch training batch assembly: (key, images, labels) ->
+    {'image', 'label'} at crop resolution, with the keep_orig
+    [augmented || original] concatenation fused into the same jit.
+
+    Exists because per-op dispatch over the tunneled TPU backend is an RPC
+    round trip: the previous epoch loop issued augment + eval-transform +
+    2x eager ``concatenate`` per iteration (~4 round trips); this is the
+    whole per-iteration device-side input pipeline in one.
+    """
+    policy = get_policy(policy_name)
+
+    @jax.jit
+    def run(key, images, labels):
+        return _train_batch_body(key, images, labels, policy, pad_hw,
+                                 crop_hw, num_classes, keep_orig)
+
+    return run
+
+
+def make_batch_train_pipeline_indexed(policy_name: str, pad_hw=(224, 224),
+                                      crop_hw=(192, 192),
+                                      num_classes: int = 4,
+                                      keep_orig: bool = True):
+    """Device-resident-dataset variant: (key, images_ALL, labels_ALL, idx)
+    -> batch.  The whole (padded) dataset lives on device; per iteration the
+    host sends only the index vector, and gather + augment + concat run as
+    one dispatch — no per-step sample transfer over the tunnel at all."""
+    policy = get_policy(policy_name)
+
+    @jax.jit
+    def run(key, images_all, labels_all, idx):
+        images = jnp.take(images_all, idx, axis=0)
+        labels = jnp.take(labels_all, idx, axis=0)
+        return _train_batch_body(key, images, labels, policy, pad_hw,
+                                 crop_hw, num_classes, keep_orig)
+
+    return run

@@ -28,18 +28,32 @@ VMEM budget: P is ``9 * C_in * H*W`` elements — at most ~10.6 MB bf16
 Lane rolls happen in f32 (Mosaic's ``dynamic_rotate`` has no sub-32-bit
 path) and the tap copies are cast back to the input dtype before the MXU.
 
-Forward-only here; ``fused_res_core`` (conv-BN-LReLU-conv-BN-add fusion)
-and the custom VJP build on these primitives.
+Measured (v5e, cli/bench_pallas_conv.py, batch 20 bf16, incl. NHWC
+boundary transposes): 1.9-4.1x vs stock XLA for the <=64-channel stages;
+slower at 128 channels (stock tiles those fine) — hence the eligibility
+rule in :class:`Conv`.  End-to-end (bench.py A/B): the full cooperative
+train step drops 183.0 -> 142.6 ms/step (+28 % throughput), losses
+agreeing to bf16 reorder tolerance (cli/check_pallas_values.py).
+
+Training works through a custom VJP: dx is this same kernel with the
+flipped/transposed weights; dw is a second Pallas reduction kernel
+accumulating P_i @ dy_i^T across the batch grid.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
+
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.fast_conv import (
+    Conv as _FallbackConv,  # staircase drop-in; stock unless FAST_CONV=1
+)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -79,25 +93,7 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, H: int, W: int, C_in: int,
     matmul in the input dtype with f32 accumulation.  P is at most ~10.6 MB
     bf16 (16 ch @ 192^2), well within VMEM, so one matmul covers the image.
     """
-    L = H * W
-    x = x_ref[0]                       # (C_in, L), VMEM-resident
-    x32 = x.astype(jnp.float32)        # rolls require 32-bit data
-    g = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    parts = []
-    for t, off in enumerate(_tap_offsets(W)):
-        ki, kj = divmod(t, 3)
-        shifted = _roll_lanes(x32, -off)
-        valid = jnp.ones((1, L), jnp.bool_)
-        if ki == 0:
-            valid = jnp.logical_and(valid, g >= W)
-        elif ki == 2:
-            valid = jnp.logical_and(valid, g < (H - 1) * W)
-        if kj == 0:
-            valid = jnp.logical_and(valid, (g % W) != 0)
-        elif kj == 2:
-            valid = jnp.logical_and(valid, (g % W) != W - 1)
-        parts.append(jnp.where(valid, shifted, 0.0).astype(x.dtype))
-    p = jnp.concatenate(parts, axis=0)                # (9*C_in, L)
+    p = _build_p(x_ref[0], H, W)                      # (9*C_in, L)
     acc = jax.lax.dot_general(
         w_ref[:], p, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (C_out, L)
@@ -140,6 +136,113 @@ def conv3x3_chw(x_chw: jnp.ndarray, w: jnp.ndarray, *, H: int, W: int,
     )(x_chw, w_all)
 
 
+def _build_p(x, H: int, W: int):
+    """Tap-stacked matrix P (9*C_in, H*W) from x (C_in, H*W) in VMEM.
+
+    Shared by the forward and dw kernels.  Lane rolls in f32 (Mosaic
+    limitation), SAME-padding edge masking via lane-iota selects, result
+    cast back to x dtype for the MXU.
+    """
+    L = H * W
+    x32 = x.astype(jnp.float32)
+    g = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    parts = []
+    for t, off in enumerate(_tap_offsets(W)):
+        ki, kj = divmod(t, 3)
+        shifted = _roll_lanes(x32, -off)
+        valid = jnp.ones((1, L), jnp.bool_)
+        if ki == 0:
+            valid = jnp.logical_and(valid, g >= W)
+        elif ki == 2:
+            valid = jnp.logical_and(valid, g < (H - 1) * W)
+        if kj == 0:
+            valid = jnp.logical_and(valid, (g % W) != 0)
+        elif kj == 2:
+            valid = jnp.logical_and(valid, (g % W) != W - 1)
+        parts.append(jnp.where(valid, shifted, 0.0).astype(x.dtype))
+    return jnp.concatenate(parts, axis=0)                 # (9*C_in, L)
+
+
+def _dw_kernel(x_ref, dy_ref, o_ref, *, H: int, W: int):
+    """Weight gradient: accumulate P_i @ dy_i^T over the image grid.
+
+    x_ref (1, C_in, L), dy_ref (1, C_out, L), o_ref (9*C_in, C_out) f32 —
+    the output block index is constant across the grid, so the accumulator
+    stays VMEM-resident (standard Pallas reduction-grid pattern).
+    """
+    i = pl.program_id(0)
+    p = _build_p(x_ref[0], H, W)
+    acc = jax.lax.dot_general(
+        p, dy_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (9*C_in, C_out)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = acc
+
+    @pl.when(i > 0)
+    def _acc():
+        o_ref[...] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _conv3x3_chw_dw(x_chw, dy_chw, *, H: int, W: int,
+                    interpret: bool = False):
+    """d(conv)/d(w) in wall layout -> (3, 3, C_in, C_out) f32."""
+    n, c_in, L = x_chw.shape
+    c_out = dy_chw.shape[1]
+    kern = functools.partial(_dw_kernel, H=H, W=W)
+    dw_wall = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c_in, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * c_in, c_out), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * c_in, c_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_chw, dy_chw)
+    # wall rows are tap-major (t*C_in + i) -> (9, C_in, C_out) -> HWIO
+    return dw_wall.reshape(3, 3, c_in, c_out)
+
+
+def _flip_w(w: jnp.ndarray) -> jnp.ndarray:
+    """Transpose conv kernel: w'[ki, kj, o, i] = w[2-ki, 2-kj, i, o]."""
+    return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3x3_chw_ad(x_chw, w, H: int, W: int, interpret: bool = False):
+    """Differentiable CHW-lanes 3x3 SAME conv (custom VJP).
+
+    dx rides the forward kernel with the flipped/transposed kernel (a SAME
+    3x3 conv's input-gradient IS a SAME 3x3 conv); dw is the reduction
+    kernel above.  Matches ``jax.grad`` of ``lax.conv_general_dilated`` —
+    pinned by tests/test_pallas_conv.py.
+    """
+    return conv3x3_chw(x_chw, w, H=H, W=W, interpret=interpret)
+
+
+def _conv_ad_fwd(x_chw, w, H, W, interpret):
+    return conv3x3_chw(x_chw, w, H=H, W=W, interpret=interpret), (x_chw, w)
+
+
+def _conv_ad_bwd(H, W, interpret, res, dy):
+    x_chw, w = res
+    dx = conv3x3_chw(dy, _flip_w(w), H=H, W=W, interpret=interpret)
+    dw = _conv3x3_chw_dw(x_chw, dy, H=H, W=W, interpret=interpret)
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3_chw_ad.defvjp(_conv_ad_fwd, _conv_ad_bwd)
+
+
 def nhwc_to_chw(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) -> (N, C, H*W) (the kernel's canonical layout)."""
     n, h, w, c = x.shape
@@ -158,3 +261,75 @@ def conv3x3_nhwc_via_chw(x: jnp.ndarray, w: jnp.ndarray,
     n, h, ww, c = x.shape
     out = conv3x3_chw(nhwc_to_chw(x), w, H=h, W=ww, interpret=interpret)
     return chw_to_nhwc(out, h, ww)
+
+
+def conv3x3_nhwc_ad(x: jnp.ndarray, w: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Differentiable NHWC wrapper: layout transposes are plain jnp ops
+    (jax.grad handles them); the conv core uses the custom VJP."""
+    n, h, ww, c = x.shape
+    out = conv3x3_chw_ad(nhwc_to_chw(x), w, h, ww, interpret)
+    return chw_to_nhwc(out, h, ww)
+
+
+def pallas_conv_enabled() -> bool:
+    """Global trace-time switch for the CHW-lanes kernel (PALLAS_CONV env,
+    default ON; set PALLAS_CONV=0 for the stock-XLA A/B control)."""
+    return os.environ.get("PALLAS_CONV", "1") == "1"
+
+
+def _eligible_channels(c_in: int, c_out: int) -> bool:
+    """Measured win region (cli/bench_pallas_conv.py, v5e batch 20 bf16):
+    1.6-4.1x for max(C)<=64 at 48^2-192^2; LOSES when either side reaches
+    128 lanes (stock already tiles those well)."""
+    return max(c_in, c_out) <= 64
+
+
+class Conv(_FallbackConv):
+    """``nn.Conv`` drop-in routing eligible stride-1 SAME 3x3 convs through
+    the CHW-lanes Pallas kernel (custom VJP, so training works).
+
+    NAMED ``Conv`` so flax auto-naming keeps the parameter tree
+    byte-identical to ``nn.Conv`` ("Conv_0/kernel", ...): checkpoints,
+    transplant parity tests, and converters are unaffected by the toggle.
+    On non-TPU backends (tests, CPU mesh) it falls back to the staircase
+    drop-in (ops/fast_conv.py), itself stock unless FAST_CONV=1 — so both
+    measurement toggles stay independently live.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        strides = self.strides or 1
+        strides = ((strides, strides) if isinstance(strides, int)
+                   else tuple(strides))
+        ks = self.kernel_size
+        ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
+        eligible = (
+            pallas_conv_enabled()
+            and jax.default_backend() == "tpu"
+            # pallas_call does not auto-partition under pjit; on a multi-chip
+            # mesh the sharded train step must wrap it in shard_map first.
+            # Until then, route multi-device traces through stock XLA.
+            and jax.device_count() == 1
+            and x.ndim == 4
+            and ks == (3, 3)
+            and strides == (1, 1)
+            and self.padding in ("SAME", ((1, 1), (1, 1)))
+            and self.feature_group_count == 1
+            and self.kernel_dilation in (1, (1, 1), None)
+            and self.input_dilation in (1, (1, 1), None)
+            and _eligible_channels(x.shape[-1], self.features)
+        )
+        if not eligible:
+            return super().__call__(x)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        y = conv3x3_nhwc_ad(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y

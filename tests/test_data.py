@@ -380,3 +380,73 @@ def test_eval_batcher_no_duplication():
     s2 = BatchSampler(3, 8, shuffle=False, wrap=True)
     (b,) = list(s2.epoch())
     assert len(b) == 8
+
+
+def test_fused_pipeline_matches_separate_dispatches():
+    """The one-dispatch train pipeline (make_batch_train_pipeline) must be
+    value-identical to the separate augment + eval-transform + concat path
+    it replaced (same key splits, same ops, fused for tunnel dispatch)."""
+    import jax
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        CooperativeBatcher,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+
+    ds = SyntheticSegDataset(length=8, pad_size=(64, 64), num_classes=4,
+                             seed=0)
+    b = CooperativeBatcher(ds, batch_size=4, pad_hw=(64, 64), crop_hw=(48, 48),
+                           policy_name="ACDC_affine_elastic_intensity",
+                           keep_orig=True, seed=3)
+    raw = next(iter(b.raw_epoch()))
+    img = jax.numpy.asarray(raw["image"])
+    lbl = jax.numpy.asarray(raw["label"].astype(np.uint8))
+    key = jax.random.PRNGKey(7)
+    fused = b.pipeline(key, img, lbl)
+    aug_i, aug_l = b.augment(key, img, lbl.astype(jax.numpy.int32))
+    orig_i, orig_l = b.eval_transform(img, lbl.astype(jax.numpy.int32))
+    np.testing.assert_array_equal(
+        np.asarray(fused["image"]),
+        np.concatenate([np.asarray(aug_i), np.asarray(orig_i)], axis=0))
+    np.testing.assert_array_equal(
+        np.asarray(fused["label"]),
+        np.concatenate([np.asarray(aug_l), np.asarray(orig_l)], axis=0))
+
+
+def test_device_cache_batches_match_streaming():
+    """device_cache=True (whole dataset resident on device, per-iter index
+    transfer only) must yield value-identical epochs to the streaming path
+    — same sampler seed, same augmentation keys."""
+    import jax
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        CooperativeBatcher,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+
+    ds = SyntheticSegDataset(length=8, pad_size=(64, 64), num_classes=4,
+                             seed=0)
+    kw = dict(batch_size=4, pad_hw=(64, 64), crop_hw=(48, 48),
+              policy_name="ACDC_affine_elastic_intensity", keep_orig=True,
+              seed=11)
+    stream = CooperativeBatcher(ds, device_cache=False, **kw)
+    cached = CooperativeBatcher(ds, device_cache=True, **kw)
+    key = jax.random.PRNGKey(5)
+    got_s = list(stream.epoch(key))
+    got_c = list(cached.epoch(key))
+    assert len(got_s) == len(got_c) > 0
+    for bs, bc in zip(got_s, got_c):
+        np.testing.assert_array_equal(np.asarray(bs["image"]),
+                                      np.asarray(bc["image"]))
+        np.testing.assert_array_equal(np.asarray(bs["label"]),
+                                      np.asarray(bc["label"]))
+    # second epoch re-derives fresh indices/keys (no stale caching)
+    key2 = jax.random.PRNGKey(6)
+    again = list(cached.epoch(key2))
+    assert any(not np.array_equal(np.asarray(a["image"]),
+                                  np.asarray(b["image"]))
+               for a, b in zip(got_c, again))

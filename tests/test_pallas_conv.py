@@ -69,6 +69,28 @@ def test_weights_to_wall_layout(np_rng):
                                       np.asarray(w)[ki, kj].T)
 
 
+def test_custom_vjp_matches_stock_grads(np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+        conv3x3_nhwc_ad,
+    )
+    x = jnp.asarray(np_rng.randn(3, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, 8, 12).astype(np.float32))
+    cot = jnp.asarray(np_rng.randn(3, 16, 16, 12).astype(np.float32))
+
+    def loss_pallas(x, w):
+        return jnp.sum(conv3x3_nhwc_ad(x, w, interpret=True) * cot)
+
+    def loss_stock(x, w):
+        return jnp.sum(_stock(x, w) * cot)
+
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(loss_stock, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s),
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_chw_entry_point_matches_nhwc(np_rng):
     x = jnp.asarray(np_rng.randn(2, 16, 16, 8).astype(np.float32))
     w = jnp.asarray(0.2 * np_rng.randn(3, 3, 8, 8).astype(np.float32))
