@@ -15,6 +15,7 @@ an augmented view and its center-cropped original, concatenated along batch
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -181,6 +182,50 @@ class CooperativeBatcher:
 
     def __len__(self) -> int:
         return len(self.sampler)
+
+    def epoch_index_matrix(self) -> np.ndarray:
+        """(K, raw_batch) int32 index matrix for one epoch — the host side
+        of the fused-epoch path (see :meth:`fused_epoch_runner`).  Consumes
+        the SAME sampler stream as :meth:`epoch`, so fused and streaming
+        epochs see identical batch orders."""
+        return np.stack(list(self.sampler.epoch())).astype(np.int32)
+
+    def fused_epoch_runner(self, train_step_body):
+        """ONE-dispatch epoch: lax.scan over (augment + train step) against
+        the device-resident dataset.
+
+        Per-iteration dispatch over the tunneled backend costs an RPC round
+        trip each; at the measured 143 ms step that overhead DOMINATES the
+        epoch (epoch-level throughput 31.7 slices/s vs 140 step-marginal,
+        RESULTS.md).  Scanning the whole epoch into one jitted call sends
+        one index matrix + two keys per epoch instead of 2K dispatches.
+
+        Key schedule matches the streaming path exactly: the batch key
+        splits once per batch (as :meth:`epoch` does) and the step key
+        splits once per step (as the driver loop does), so fused and
+        streaming training produce identical parameter trajectories
+        (pinned by tests/test_data.py).
+
+        Returns ``run(state, img_all, lbl_all, idx_mat, batch_key,
+        step_key) -> (state, next_step_key, stacked_metrics)``.
+        """
+        pipeline = getattr(self.pipeline_idx, "__wrapped__", self.pipeline_idx)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(state, img_all, lbl_all, idx_mat, batch_key, step_key):
+            def body(carry, idx):
+                st, bk, sk = carry
+                bk, sub = jax.random.split(bk)
+                batch = pipeline(sub, img_all, lbl_all, idx)
+                sk, skey = jax.random.split(sk)
+                st, metrics = train_step_body(st, batch, skey)
+                return (st, bk, sk), metrics
+
+            (st, _, sk), ms = jax.lax.scan(
+                body, (state, batch_key, step_key), idx_mat)
+            return st, sk, ms
+
+        return run
 
     def raw_epoch(self) -> Iterator[Dict[str, np.ndarray]]:
         """Numpy-only collation — safe to run on a prefetch thread."""

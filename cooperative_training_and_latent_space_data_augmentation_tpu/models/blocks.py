@@ -33,6 +33,10 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv
     Conv as FastConv,  # nn.Conv drop-in; CHW-lanes Pallas kernel for eligible
     # small-channel 3x3 s1 stages (falls back to the staircase drop-in, then
     # stock nn.Conv, by toggle/eligibility)
+    _eligible_channels,
+    chw_to_nhwc,
+    nhwc_to_chw,
+    pallas_path_available,
 )
 
 # Torch BatchNorm2d defaults: momentum=0.1 (i.e. flax momentum 0.9), eps=1e-5.
@@ -40,6 +44,16 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 conv_kernel_init = nn.initializers.he_normal()  # reference init_weights(init_type='kaiming')
+
+
+def _fused_chw_ok(x, features: int) -> bool:
+    """Trace-time gate for the CHW-resident fused block paths: the Pallas
+    kernel must be available AND every conv in the chain (c_in->features,
+    features->features) inside its measured win region."""
+    return (pallas_path_available()
+            and x.ndim == 4
+            and _eligible_channels(x.shape[-1], features)
+            and _eligible_channels(features, features))
 
 
 def bn_scale_init(key, shape, dtype=jnp.float32):
@@ -71,8 +85,13 @@ class BatchNorm(nn.Module):
     """
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        feats = x.shape[-1]
+    def __call__(self, x, use_running_average: bool, channel_axis: int = -1):
+        """``channel_axis=-1`` is NHWC (the default everywhere);
+        ``channel_axis=1`` serves the CHW-resident fused block paths
+        ((N, C, H*W) activations — see _ResCore).  The parameter/stat tree
+        is identical either way: shapes are (C,)."""
+        c_ax = channel_axis % x.ndim
+        feats = x.shape[c_ax]
         # Stats and affine math always in float32: under bf16 mixed
         # precision the norm is the numerically sensitive op, and XLA fuses
         # the casts into the surrounding convs anyway.
@@ -86,16 +105,23 @@ class BatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            reduce_axes = tuple(range(x.ndim - 1))
+            reduce_axes = tuple(a for a in range(x.ndim) if a != c_ax)
             mean = jnp.mean(x32, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
+            bshape = [1] * x.ndim
+            bshape[c_ax] = feats
+            var = jnp.mean(jnp.square(x32 - mean.reshape(bshape)),
+                           axis=reduce_axes)
             if not self.is_initializing():
                 n = x.size // feats
                 unbiased = var * (n / (n - 1.0)) if n > 1 else var
                 m = BN_MOMENTUM
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
-        y = (x32 - mean) * jax.lax.rsqrt(var + BN_EPS) * scale + bias
+        bshape = [1] * x.ndim
+        bshape[c_ax] = feats
+        y = ((x32 - mean.reshape(bshape))
+             * jax.lax.rsqrt(var.reshape(bshape) + BN_EPS)
+             * scale.reshape(bshape) + bias.reshape(bshape))
         return y.astype(x.dtype)
 
 
@@ -165,13 +191,29 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt = self.dtype or x.dtype
-        x = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                     dtype=dt)(x)
-        x = BatchNorm()(x, use_running_average=not train)
+        conv1 = FastConv(self.features, (3, 3), padding="SAME",
+                         kernel_init=conv_kernel_init, dtype=dt)
+        bn1 = BatchNorm()
+        conv2 = FastConv(self.features, (3, 3), padding="SAME",
+                         kernel_init=conv_kernel_init, dtype=dt)
+        bn2 = BatchNorm()
+        if _fused_chw_ok(x, self.features):
+            # CHW-resident chain: ONE layout transpose in, one out, instead
+            # of one per conv — BN/LReLU run on the (N, C, H*W) activations
+            # between the two Pallas convs.
+            n, hh, ww, _ = x.shape
+            h = nhwc_to_chw(x)
+            h = conv1(h, chw=(hh, ww))
+            h = bn1(h, use_running_average=not train, channel_axis=1)
+            h = leaky_relu(h)
+            h = conv2(h, chw=(hh, ww))
+            h = bn2(h, use_running_average=not train, channel_axis=1)
+            return chw_to_nhwc(h, hh, ww)
+        x = conv1(x)
+        x = bn1(x, use_running_average=not train)
         x = leaky_relu(x)
-        x = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                     dtype=dt)(x)
-        x = BatchNorm()(x, use_running_average=not train)
+        x = conv2(x)
+        x = bn2(x, use_running_average=not train)
         return x
 
 
@@ -185,16 +227,39 @@ class _ResCore(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt = self.dtype or x.dtype
-        shortcut = nn.Conv(self.features, (1, 1), kernel_init=conv_kernel_init,
-                           dtype=dt)(x)
-        h = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                     dtype=dt)(x)
-        h = BatchNorm()(h, use_running_average=not train)
-        h = leaky_relu(h)
-        h = FastConv(self.features, (3, 3), padding="SAME", kernel_init=conv_kernel_init,
-                     dtype=dt)(h)
-        h = BatchNorm()(h, use_running_average=not train)
-        out = leaky_relu(shortcut.astype(h.dtype) + h)
+        # FastConv (class name "Conv") for the 1x1 shortcut keeps the flax
+        # auto-names identical to the previous nn.Conv ("Conv_0"); its
+        # NHWC path for a 1x1 kernel IS stock nn.Conv.
+        sc_conv = FastConv(self.features, (1, 1), kernel_init=conv_kernel_init,
+                           dtype=dt)
+        conv1 = FastConv(self.features, (3, 3), padding="SAME",
+                         kernel_init=conv_kernel_init, dtype=dt)
+        bn1 = BatchNorm()
+        conv2 = FastConv(self.features, (3, 3), padding="SAME",
+                         kernel_init=conv_kernel_init, dtype=dt)
+        bn2 = BatchNorm()
+        if _fused_chw_ok(x, self.features):
+            # CHW-resident residual core: one transpose in/out for the whole
+            # [1x1-shortcut || conv3-BN-LReLU-conv3-BN] chain (the NHWC path
+            # below pays one per conv); the shortcut is a channel matmul in
+            # this layout, and the residual add + LReLU stay in (N, C, H*W).
+            n, hh, ww, _ = x.shape
+            xc = nhwc_to_chw(x)
+            sc = sc_conv(xc, chw=(hh, ww))
+            h = conv1(xc, chw=(hh, ww))
+            h = bn1(h, use_running_average=not train, channel_axis=1)
+            h = leaky_relu(h)
+            h = conv2(h, chw=(hh, ww))
+            h = bn2(h, use_running_average=not train, channel_axis=1)
+            out = chw_to_nhwc(leaky_relu(sc.astype(h.dtype) + h), hh, ww)
+        else:
+            shortcut = sc_conv(x)
+            h = conv1(x)
+            h = bn1(h, use_running_average=not train)
+            h = leaky_relu(h)
+            h = conv2(h)
+            h = bn2(h, use_running_average=not train)
+            out = leaky_relu(shortcut.astype(h.dtype) + h)
         if self.dropout is not None and self.dropout > 0:
             # Channel dropout (torch nn.Dropout2d): drop whole feature maps.
             out = nn.Dropout(

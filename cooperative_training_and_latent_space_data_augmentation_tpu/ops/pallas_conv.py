@@ -31,9 +31,12 @@ path) and the tap copies are cast back to the input dtype before the MXU.
 Measured (v5e, cli/bench_pallas_conv.py, batch 20 bf16, incl. NHWC
 boundary transposes): 1.9-4.1x vs stock XLA for the <=64-channel stages;
 slower at 128 channels (stock tiles those fine) — hence the eligibility
-rule in :class:`Conv`.  End-to-end (bench.py A/B): the full cooperative
-train step drops 183.0 -> 142.6 ms/step (+28 % throughput), losses
-agreeing to bf16 reorder tolerance (cli/check_pallas_values.py).
+rule in :class:`Conv`.  End-to-end (bench.py A/B): per-conv drop-in took
+the full cooperative train step 183.0 -> 142.6 ms/step; keeping the
+residual cores CHW-RESIDENT between kernels (models/blocks.py fused
+paths, via this module's ``chw=`` entry) took it to **86.3 ms/step
+(231.7 slices/s/chip, 2.12x stock)** — losses agreeing to bf16 reorder
+tolerance (cli/check_pallas_values.py).
 
 Training works through a custom VJP: dx is this same kernel with the
 flipped/transposed weights; dw is a second Pallas reduction kernel
@@ -278,11 +281,35 @@ def pallas_conv_enabled() -> bool:
     return os.environ.get("PALLAS_CONV", "1") == "1"
 
 
+def pallas_interpret_forced() -> bool:
+    """PALLAS_CONV_INTERPRET=1 forces the Pallas path in interpreter mode
+    on any backend — the CPU test vehicle for the fused CHW-resident block
+    paths (which are otherwise TPU-gated)."""
+    return os.environ.get("PALLAS_CONV_INTERPRET", "0") == "1"
+
+
+def pallas_path_available() -> bool:
+    """Trace-time gate shared by :class:`Conv` and the fused block paths in
+    ``models/blocks.py``: kernel enabled AND a backend it can run on.
+
+    pallas_call does not auto-partition under pjit; on a multi-chip mesh
+    the sharded train step must wrap it in shard_map first.  Until then,
+    multi-device traces route through stock XLA.
+    """
+    if not pallas_conv_enabled():
+        return False
+    if pallas_interpret_forced():
+        return True
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def _eligible_channels(c_in: int, c_out: int) -> bool:
     """Measured win region (cli/bench_pallas_conv.py, v5e batch 20 bf16):
     1.6-4.1x for max(C)<=64 at 48^2-192^2; LOSES when either side reaches
-    128 lanes (stock already tiles those well)."""
-    return max(c_in, c_out) <= 64
+    128 lanes (stock already tiles those well) — but that measurement
+    includes per-conv boundary transposes, which the CHW-resident block
+    paths eliminate; PALLAS_CONV_MAX_CH overrides the cutoff for A/Bs."""
+    return max(c_in, c_out) <= int(os.environ.get("PALLAS_CONV_MAX_CH", "64"))
 
 
 class Conv(_FallbackConv):
@@ -298,19 +325,40 @@ class Conv(_FallbackConv):
     """
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, chw: Optional[Tuple[int, int]] = None):
         strides = self.strides or 1
         strides = ((strides, strides) if isinstance(strides, int)
                    else tuple(strides))
         ks = self.kernel_size
         ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
+        interpret = pallas_interpret_forced()
+        if chw is not None:
+            # CHW-resident entry (fused block paths in models/blocks.py):
+            # x is (N, C_in, H*W); the CALLER guarantees eligibility
+            # (pallas_path_available() + channel rule) before transposing
+            # into this layout.  Supports the 3x3 kernel and the 1x1
+            # shortcut (a plain channel matmul in this layout).
+            h, w_cols = chw
+            assert x.ndim == 3 and x.shape[2] == h * w_cols, (x.shape, chw)
+            assert strides == (1, 1) and ks in ((3, 3), (1, 1)), (ks, strides)
+            kernel = self.param("kernel", self.kernel_init,
+                                (*ks, x.shape[1], self.features),
+                                self.param_dtype)
+            bias = (self.param("bias", self.bias_init, (self.features,),
+                               self.param_dtype) if self.use_bias else None)
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+            if ks == (3, 3):
+                y = conv3x3_chw_ad(x, kernel, h, w_cols, interpret)
+            else:
+                y = jnp.einsum("if,nil->nfl", kernel[0, 0], x,
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
+            if bias is not None:
+                y = y + bias[:, None].astype(y.dtype)
+            return y
         eligible = (
-            pallas_conv_enabled()
-            and jax.default_backend() == "tpu"
-            # pallas_call does not auto-partition under pjit; on a multi-chip
-            # mesh the sharded train step must wrap it in shard_map first.
-            # Until then, route multi-device traces through stock XLA.
-            and jax.device_count() == 1
+            pallas_path_available()
             and x.ndim == 4
             and ks == (3, 3)
             and strides == (1, 1)
@@ -329,7 +377,7 @@ class Conv(_FallbackConv):
                            self.param_dtype) if self.use_bias else None)
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
-        y = conv3x3_nhwc_ad(x, kernel)
+        y = conv3x3_nhwc_ad(x, kernel, interpret=interpret)
         if bias is not None:
             y = y + bias
         return y

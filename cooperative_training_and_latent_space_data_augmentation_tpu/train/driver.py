@@ -163,6 +163,22 @@ def train_network(experiment_name: str,
                                pad_hw=data_cfg.pad_hw, crop_hw=data_cfg.crop_hw,
                                sharding=batch_sharding_spec)
 
+    # Fused-epoch fast path (single-device + device-resident dataset): the
+    # whole epoch — per-batch gather + augment + train step x K — scans
+    # inside ONE jitted dispatch, eliminating the per-iteration RPC round
+    # trips that dominate epoch time on the tunneled backend.  Streams and
+    # key schedules match the per-batch loop exactly (tests/test_data.py).
+    # TPU-only by default: XLA-CPU takes minutes to compile the scanned
+    # 192^2 epoch graph and has no dispatch latency to amortize anyway
+    # (FUSED_EPOCH=1/0 forces it on/off for tests and A/Bs).
+    fused_env = os.environ.get("FUSED_EPOCH", "")
+    fused_ok = (fused_env == "1"
+                or (fused_env != "0" and jax.default_backend() == "tpu"))
+    fused_runner = None
+    if fused_ok and mesh is None and getattr(batcher, "device_cache", False):
+        fused_runner = batcher.fused_epoch_runner(
+            getattr(train_step, "__wrapped__", train_step))
+
     logger = ScalarLogger(log_dir if log else None, purge_step=start_epoch)
     rng = jax.random.PRNGKey(seed + 1)
     best_score = -1e9
@@ -182,22 +198,42 @@ def train_network(experiment_name: str,
             # metrics stay on device during the epoch (a float() per step
             # would force a sync and stall the async dispatch pipeline);
             # one device_get at epoch end.
-            step_metrics = []
-            g_count = 0
             rng, epoch_key = jax.random.split(rng)
-            for batch in batcher.epoch(epoch_key):
-                if stop_flag:
+            if fused_runner is not None and not stop_flag:
+                idx_mat = batcher.epoch_index_matrix()
+                # max_iteration cap, same semantics as the loop below: stop
+                # after the step that pushes i_iter past the cap
+                k_allow = min(len(idx_mat),
+                              max(0, learning.max_iteration - i_iter + 1))
+                if k_allow == 0:
                     break
-                rng, step_key = jax.random.split(rng)
-                state, metrics = train_step(state, batch, step_key)
-                step_metrics.append(metrics)
-                g_count += 1
-                i_iter += 1
-                if i_iter > learning.max_iteration:
-                    stop_flag = True
-            if g_count == 0:
-                break
-            host_metrics = jax.device_get(step_metrics)
+                img_all, lbl_all = batcher._device_dataset()
+                state, rng, stacked = fused_runner(
+                    state, img_all, lbl_all, idx_mat[:k_allow], epoch_key,
+                    rng)
+                g_count = k_allow
+                i_iter += k_allow
+                stop_flag = i_iter > learning.max_iteration
+                host = jax.device_get(stacked)  # dict of (K,) arrays
+                host_metrics = [
+                    {k: host[k][i] for k in LOSS_KEYS}
+                    for i in range(k_allow)]
+            else:
+                step_metrics = []
+                g_count = 0
+                for batch in batcher.epoch(epoch_key):
+                    if stop_flag:
+                        break
+                    rng, step_key = jax.random.split(rng)
+                    state, metrics = train_step(state, batch, step_key)
+                    step_metrics.append(metrics)
+                    g_count += 1
+                    i_iter += 1
+                    if i_iter > learning.max_iteration:
+                        stop_flag = True
+                if g_count == 0:
+                    break
+                host_metrics = jax.device_get(step_metrics)
             train_sec = time.monotonic() - t_epoch0
             loss_acc = {k: float(sum(m[k] for m in host_metrics))
                         for k in LOSS_KEYS}

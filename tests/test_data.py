@@ -450,3 +450,75 @@ def test_device_cache_batches_match_streaming():
     assert any(not np.array_equal(np.asarray(a["image"]),
                                   np.asarray(b["image"]))
                for a, b in zip(got_c, again))
+
+
+def test_fused_epoch_matches_streaming_loop():
+    """fused_epoch_runner (whole epoch scanned in one dispatch) must produce
+    the same parameter trajectory as the per-batch streaming loop: same
+    sampler stream, same batch/step key schedule, same ops."""
+    import jax
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        CooperativeBatcher,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+        CooperativeTripletSolver,
+    )
+
+    ds = SyntheticSegDataset(length=8, pad_size=(40, 40), num_classes=4,
+                             seed=0)
+    kw = dict(batch_size=4, pad_hw=(40, 40), crop_hw=(32, 32),
+              policy_name="ACDC_affine_elastic_intensity", keep_orig=True,
+              seed=21, device_cache=True)
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                      input_hw=(32, 32))
+    state0 = solver.init_state(jax.random.PRNGKey(0))
+    step = solver.make_train_step(latent_da=None, donate=False)
+
+    # streaming reference trajectory
+    b1 = CooperativeBatcher(ds, **kw)
+    rng = jax.random.PRNGKey(3)
+    rng, epoch_key = jax.random.split(rng)
+    state_s = state0
+    n_steps = 0
+    stream_losses = []
+    for batch in b1.epoch(epoch_key):
+        rng, step_key = jax.random.split(rng)
+        state_s, m = step(state_s, batch, step_key)
+        stream_losses.append(float(m["loss/standard/total"]))
+        n_steps += 1
+    assert n_steps == 4  # 8 raw samples / (batch_size 4 // 2 with keep_orig)
+
+    # fused epoch, fresh batcher with the same sampler seed
+    b2 = CooperativeBatcher(ds, **kw)
+    runner = b2.fused_epoch_runner(step.__wrapped__)
+    rng2 = jax.random.PRNGKey(3)
+    rng2, epoch_key2 = jax.random.split(rng2)
+    idx = b2.epoch_index_matrix()
+    img_all, lbl_all = b2._device_dataset()
+    state_f, rng_out, stacked = runner(state0, img_all, lbl_all, idx,
+                                       epoch_key2, rng2)
+    assert stacked["loss/standard/total"].shape == (n_steps,)
+    # the advanced step key continues the streaming sequence
+    np.testing.assert_array_equal(np.asarray(rng_out), np.asarray(rng))
+    # identical batches + keys -> identical per-step losses.  Step 0 runs
+    # from identical params, so it pins the schedule tightly; later steps
+    # compound the ~1e-8 scan-vs-unrolled reassociation drift through Adam
+    # (params differ ~1e-6 by then), so the trajectory gets a looser band.
+    fused_losses = np.asarray(stacked["loss/standard/total"])
+    np.testing.assert_allclose(fused_losses[0], stream_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(fused_losses, np.asarray(stream_losses),
+                               rtol=1e-3)
+    # params: the ~1e-8 reassociation-level gradient differences pass
+    # through Adam's sign-sensitive update as up-to-O(lr)=1e-4 wiggle PER
+    # STEP on near-zero params (same rationale as test_sharding.py, which
+    # allows 5e-4 after ONE step; this is 4 steps).  Real schedule bugs
+    # (wrong key/batch order) diverge by orders of magnitude more — and
+    # would already have failed the per-step loss check above.
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(state_f.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)

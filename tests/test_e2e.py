@@ -95,3 +95,44 @@ def test_full_training_loop_and_eval(tmp_path):
         resume_orbax=True)
     # resumed PAST the completed epochs (start = latest step + 1 = n_epochs)
     assert last3 == last_epoch + 1
+
+
+@pytest.mark.slow
+def test_training_loop_fused_epoch_path(tmp_path, monkeypatch):
+    """Driver-level coverage of the fused-epoch scan path (TPU default;
+    FUSED_EPOCH=1 forces it on CPU) including the max_iteration mid-epoch
+    cap, which truncates the scanned index matrix."""
+    monkeypatch.setenv("FUSED_EPOCH", "1")
+    cfg = ExperimentConfig.from_dict({
+        "name": "e2e_fused",
+        "data": {"pad_size": [64, 64, 1], "crop_size": [48, 48, 1],
+                 "data_aug_policy": "ACDC_affine",
+                 "keep_orig_image_label_pair_for_training": True,
+                 "num_classes": 4},
+        # 8 samples / raw batch 2 = 4 iters/epoch; cap at 6 total -> the
+        # second epoch runs a TRUNCATED 2-step scan and sets stop_flag
+        "learning": {"latent_DA": True, "batch_size": 4, "n_epochs": 5,
+                     "max_iteration": 6, "lr": 1e-3},
+        "output": {"save_epoch_every_num_epochs": 10},
+    })
+    train_set = SyntheticSegDataset(length=8, pad_size=(64, 64), seed=0)
+    val_set = SyntheticSegDataset(length=4, pad_size=(64, 64), seed=1)
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                      input_hw=(48, 48),
+                                      learning_rate=cfg.learning.lr)
+    log_dir, model_dir = experiment_dirs(str(tmp_path), "synthetic", "smoke",
+                                         4, "e2e_fused", 0)
+    state, best, last_epoch = train_network(
+        "e2e_fused", train_set, val_set, solver, cfg, model_dir=model_dir,
+        log_dir=log_dir, log=True, seed=0)
+    # epoch 0: 4 iters; epoch 1: capped at 2 iters -> stop
+    assert last_epoch == 1
+    assert np.isfinite(best)
+    import json
+    with open(os.path.join(log_dir, "scalars.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    per_epoch = {}
+    for r in rows:
+        if r["tag"] == "loss/standard/total":
+            per_epoch[r["step"]] = r["value"]
+    assert set(per_epoch) == {0, 1}

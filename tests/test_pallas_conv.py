@@ -98,3 +98,75 @@ def test_chw_entry_point_matches_nhwc(np_rng):
     np.testing.assert_array_equal(
         np.asarray(chw_to_nhwc(via_chw, 16, 16)),
         np.asarray(conv3x3_nhwc_via_chw(x, w, interpret=True)))
+
+
+def _run_block(module, x, train, rngs_key=0):
+    import flax
+    variables = module.init(jax.random.PRNGKey(rngs_key), x, train=False)
+    out, mut = module.apply(variables, x, train=train,
+                            mutable=["batch_stats"] if train else [])
+    return variables, out, (mut.get("batch_stats") if train else None)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_fused_chw_res_core_matches_stock(monkeypatch, np_rng, train):
+    """The CHW-resident fused _ResCore/ConvBlock paths (PALLAS_CONV_INTERPRET
+    forces them on CPU) must match the stock NHWC path: same param tree,
+    same outputs, same emitted batch_stats."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
+        blocks,
+    )
+
+    x = jnp.asarray(np_rng.randn(2, 16, 16, 8).astype(np.float32))
+    for cls, kwargs in ((blocks._ResCore, dict(features=16)),
+                        (blocks.ConvBlock, dict(features=16))):
+        module = cls(**kwargs)
+        monkeypatch.delenv("PALLAS_CONV_INTERPRET", raising=False)
+        assert not blocks._fused_chw_ok(x, 16) or jax.default_backend() == "tpu"
+        v_stock, out_stock, bs_stock = _run_block(module, x, train)
+        monkeypatch.setenv("PALLAS_CONV_INTERPRET", "1")
+        assert blocks._fused_chw_ok(x, 16)
+        v_fused, out_fused, bs_fused = _run_block(module, x, train)
+        # identical parameter trees (names AND shapes): checkpoints are
+        # layout-oblivious
+        assert jax.tree_util.tree_structure(v_stock) == \
+            jax.tree_util.tree_structure(v_fused)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_stock),
+                                   rtol=2e-5, atol=2e-5)
+        if train:
+            for a, b in zip(jax.tree_util.tree_leaves(bs_stock),
+                            jax.tree_util.tree_leaves(bs_fused)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=2e-5, atol=2e-5)
+        monkeypatch.delenv("PALLAS_CONV_INTERPRET", raising=False)
+
+
+def test_fused_chw_res_core_grads_match(monkeypatch, np_rng):
+    """Gradients through the fused CHW res core (custom-VJP convs + CHW
+    BatchNorm) must match the stock NHWC path."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
+        blocks,
+    )
+
+    x = jnp.asarray(np_rng.randn(2, 12, 12, 8).astype(np.float32))
+    module = blocks._ResCore(features=16)
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params, use_fused):
+        if use_fused:
+            monkeypatch.setenv("PALLAS_CONV_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("PALLAS_CONV_INTERPRET", raising=False)
+        out, _ = module.apply({"params": params,
+                               "batch_stats": variables["batch_stats"]},
+                              x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out * out)
+
+    g_stock = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_fused = jax.grad(lambda p: loss(p, True))(variables["params"])
+    monkeypatch.delenv("PALLAS_CONV_INTERPRET", raising=False)
+    for a, b in zip(jax.tree_util.tree_leaves(g_stock),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)

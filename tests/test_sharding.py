@@ -1,5 +1,7 @@
 """Data-parallel sharding tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +72,48 @@ def test_sharded_cooperative_train_step():
     # sums vs the single-device run; Adam's sign-sensitive update amplifies
     # those ~1e-7 gradient differences to O(lr)=1e-4 on near-zero-gradient
     # params, so the atol is 5e-4 (real sharding bugs diverge by O(1)).
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("FULL_SHAPE_SHARDING", "0") != "1",
+                    reason="heavy: 192x192 batch-16 cooperative step twice; "
+                           "set FULL_SHAPE_SHARDING=1 (VERDICT r2 #7 evidence "
+                           "run — results recorded in RESULTS.md)")
+def test_sharded_cooperative_train_step_real_shape():
+    """VERDICT r2 #7: the sharded path at the REAL workload shape — 192x192,
+    batch 2x8 — must execute and match single-device numerics (the 32x32
+    test above stays as the fast-CI version of the same assertion)."""
+    mesh = make_mesh()
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                      input_hw=(192, 192))
+    state = solver.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(16, 192, 192, 1).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (16, 192, 192)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(7)
+
+    base_step = solver.make_train_step(latent_da=LatentDAConfig(), donate=False)
+    ref_state, ref_metrics = base_step(state, batch, key)
+
+    sharded = shard_train_step(base_step.__wrapped__, mesh, donate=False)
+    st = replicate(mesh, solver.init_state(jax.random.PRNGKey(0)))
+    out_state, out_metrics = sharded(st, shard_batch(mesh, batch),
+                                     replicate(mesh, key))
+
+    np.testing.assert_allclose(
+        float(out_metrics["loss/standard/total"]),
+        float(ref_metrics["loss/standard/total"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(out_metrics["loss/hard/total"]),
+        float(ref_metrics["loss/hard/total"]), rtol=1e-4)
+    # same reorder-tolerance rationale as the 32x32 test above
     for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
                     jax.tree_util.tree_leaves(out_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
