@@ -261,7 +261,10 @@ def warp_label(label_hw, ys, xs, num_classes: int, order: int = 3):
     (the reference's label mode); ``order=1`` reduces to one-hot bilinear.
     Outside the source frame scores are zeroed -> background, matching the
     affine's zero fill."""
-    onehot = jax.nn.one_hot(label_hw, num_classes, dtype=jnp.float32)
+    # class 0's ascending overwrite writes 0 into a 0-initialized result —
+    # a no-op — so only classes 1..C-1 need warping (25 % less prefilter +
+    # gather payload at C=4)
+    onehot = jax.nn.one_hot(label_hw, num_classes, dtype=jnp.float32)[..., 1:]
     if order == 1:
         scores = _bilinear_sample(onehot, ys, xs)
     else:
@@ -273,8 +276,8 @@ def warp_label(label_hw, ys, xs, num_classes: int, order: int = 3):
     h, w = label_hw.shape
     valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
     result = jnp.zeros(ys.shape, label_hw.dtype)
-    for c in range(num_classes):
-        hit = (scores[..., c] >= 0.5) & valid
+    for c in range(1, num_classes):
+        hit = (scores[..., c - 1] >= 0.5) & valid
         result = jnp.where(hit, jnp.asarray(c, label_hw.dtype), result)
     return result
 
@@ -522,7 +525,17 @@ def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
                       or policy.rotate_groups or policy.elastic_prob > 0
                       or policy.elastic_prob_v2 > 0)
     if needs_geometry:
-        ys, xs = _base_grid(h, w)
+        # The center crop is COMPOSED into the warp's output grid: gathers
+        # and tap weights are evaluated only at the crop_hw pixels that
+        # survive (26 % fewer at 224^2 -> 192^2), bit-identical to warping
+        # the full grid and cropping after (the random fields/matrices are
+        # generated at pad resolution and sliced, so every sampled
+        # coordinate is unchanged; pinned by tests/test_augment.py).
+        oy = (h - crop_hw[0]) // 2
+        ox = (w - crop_hw[1]) // 2
+        ys, xs = _base_grid(crop_hw[0], crop_hw[1])
+        ys = ys + oy
+        xs = xs + ox
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
         mat, trans = _affine_inverse_matrix(k_affine, policy, h, w)
         yc = ys - cy - trans[0]
@@ -532,19 +545,19 @@ def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
         if policy.elastic_prob > 0:
             dy, dx = _elastic_field(k_elastic, h, w, policy)
             do = jax.random.uniform(k_pe, ()) < policy.elastic_prob
-            ya = ya + jnp.where(do, dy, 0.0)
-            xa = xa + jnp.where(do, dx, 0.0)
+            ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
+            xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
         if policy.elastic_prob_v2 > 0:
             dy, dx = _coarse_elastic_field(k_coarse, h, w)
             do = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
-            ya = ya + jnp.where(do, dy, 0.0)
-            xa = xa + jnp.where(do, dx, 0.0)
+            ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
+            xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
         img = warp_image(img, ya, xa)
         lbl = warp_label(lbl, ya, xa, num_classes)
+    else:
+        img = center_crop(img, crop_hw)
+        lbl = center_crop(lbl, crop_hw)
 
-    # crop + normalize
-    img = center_crop(img, crop_hw)
-    lbl = center_crop(lbl, crop_hw)
     img = percentile_normalize(img)
     return img, lbl.astype(jnp.int32)
 

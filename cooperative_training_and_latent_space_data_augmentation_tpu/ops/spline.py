@@ -23,6 +23,7 @@ from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def _extend_index(i: np.ndarray, n: int, mode: str) -> np.ndarray:
@@ -97,13 +98,65 @@ def _bspline_weights(t):
     return (w0, w1, w2, w3)
 
 
+def _fold_coords(y, n: int, mode: str):
+    """Fold CONTINUOUS coordinates into the base domain per scipy mode.
+
+    For a mode-extended coefficient array, the interpolated value at y
+    equals the value at the folded coordinate (the extension is symmetric
+    and periodic), so folding before tap generation keeps every tap within
+    2 of the domain — which a fixed 2-wide pad then covers.
+      'mirror'  (c b | a b c | b a): triangle wave, period 2(n-1).
+      'reflect' (b a | a b c | c b): reflection about -0.5, period 2n.
+    """
+    if mode == "mirror":
+        if n == 1:
+            return jnp.zeros_like(y)
+        p = float(n - 1)
+        m = jnp.mod(y, 2.0 * p)
+        return p - jnp.abs(p - m)
+    if mode == "reflect":
+        z = jnp.mod(y + 0.5, 2.0 * n)
+        z = jnp.minimum(z, 2.0 * n - z)
+        return z - 0.5
+    raise NotImplementedError(mode)
+
+
+def _map_coordinates_taps(coeff, ys, xs, h: int, w: int, mode: str):
+    """Reference 16-single-element-gather evaluation (kept for tiny inputs
+    and as the golden formulation the fast path is tested against)."""
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wys = _bspline_weights(ys - y0)
+    wxs = _bspline_weights(xs - x0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    out = jnp.zeros(ys.shape + (coeff.shape[-1],), coeff.dtype)
+    for dy in range(-1, 3):
+        yi = _extend_index_jnp(y0i + dy, h, mode)
+        wy = wys[dy + 1][..., None]
+        for dx in range(-1, 3):
+            xi = _extend_index_jnp(x0i + dx, w, mode)
+            wx = wxs[dx + 1][..., None]
+            out = out + wy * wx * coeff[yi, xi]
+    return out
+
+
 def map_coordinates_cubic(img_hwc, ys, xs, mode: str = "mirror",
                           prefiltered: bool = False):
     """scipy.ndimage.map_coordinates(order=3) for an HWC image at (ys, xs)
     float sample grids.  ``mode`` handles BOTH coefficient folding and
     out-of-range coordinates (like scipy).  Pass ``prefiltered=True`` when
     ``img_hwc`` already holds spline coefficients (for 'nearest' these must
-    be the 12-edge-padded mirror coefficients this function builds)."""
+    be the 12-edge-padded mirror coefficients this function builds).
+
+    TPU fast path: instead of 16 single-element gathers per output pixel
+    (XLA-TPU gathers pay per INDEX, measured 67 ms per 10x224^2x4 warp),
+    ONE ``lax.gather`` with ``slice_sizes=(4, 4, C)`` fetches each pixel's
+    whole coefficient neighborhood (26.6 ms, 2.5x).  Out-of-range
+    coordinates are mirror/reflect-FOLDED first (exact — the spline of the
+    extended signal is symmetric), so a fixed reflect/symmetric pad of 2
+    covers every tap.
+    """
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     if mode == "nearest":
         # scipy has no exact infinite spline extension for 'nearest': it
@@ -120,18 +173,26 @@ def map_coordinates_cubic(img_hwc, ys, xs, mode: str = "mirror",
         h, w = h + 2 * pad, w + 2 * pad
         mode = "mirror"
     coeff = img_hwc if prefiltered else spline_coefficients(img_hwc, mode)
+    if h < 2 or w < 2:
+        return _map_coordinates_taps(coeff, ys, xs, h, w, mode)
+    ys = _fold_coords(ys, h, mode)
+    xs = _fold_coords(xs, w, mode)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
-    wys = _bspline_weights(ys - y0)
-    wxs = _bspline_weights(xs - x0)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    out = jnp.zeros(ys.shape + (img_hwc.shape[-1],), coeff.dtype)
-    for dy in range(-1, 3):
-        yi = _extend_index_jnp(y0i + dy, h, mode)
-        wy = wys[dy + 1][..., None]
-        for dx in range(-1, 3):
-            xi = _extend_index_jnp(x0i + dx, w, mode)
-            wx = wxs[dx + 1][..., None]
-            out = out + wy * wx * coeff[yi, xi]
-    return out
+    wy = jnp.stack(_bspline_weights(ys - y0), axis=-1)       # (..., 4)
+    wx = jnp.stack(_bspline_weights(xs - x0), axis=-1)
+    # pad rows/cols -2..-1 and n..n+1 with the mode's extension; folded
+    # coords keep every tap inside this band
+    pad_mode = "reflect" if mode == "mirror" else "symmetric"
+    cfp = jnp.pad(coeff, ((2, 2), (2, 2), (0, 0)), mode=pad_mode)
+    c = coeff.shape[-1]
+    # slice start = (y0 - 1) + 2 in the padded frame
+    idx = jnp.stack([y0.astype(jnp.int32).reshape(-1) + 1,
+                     x0.astype(jnp.int32).reshape(-1) + 1], axis=-1)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
+                                    collapsed_slice_dims=(),
+                                    start_index_map=(0, 1))
+    g = lax.gather(cfp, idx, dn, slice_sizes=(4, 4, c))      # (N, 4, 4, C)
+    out = jnp.einsum("nabc,na,nb->nc", g,
+                     wy.reshape(-1, 4), wx.reshape(-1, 4))
+    return out.reshape(ys.shape + (c,)).astype(coeff.dtype)

@@ -235,3 +235,78 @@ def test_transformations_facade(rng, np_rng):
     assert vi.shape == (2, 32, 32, 1) and float(vi.min()) >= -1e-5
     te = pipes["test"](imgs)
     assert te.shape == (2, 32, 32, 1)
+
+
+def test_crop_composed_warp_matches_full_grid_then_crop():
+    """The crop-composed output grid in augment_sample must be value-
+    identical to warping the FULL pad-resolution grid and center-cropping
+    afterwards (the pre-optimization formulation), for both image and
+    label."""
+    key = jax.random.PRNGKey(42)
+    policy = A.get_policy("ACDC_affine_elastic_intensity")
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(64, 64, 1).astype(np.float32))
+    lbl = jnp.asarray(rs.randint(0, 4, (64, 64)).astype(np.int32))
+    pad_hw, crop_hw = (64, 64), (48, 48)
+
+    got_img, got_lbl = A.augment_sample(key, img, lbl, policy, pad_hw,
+                                        crop_hw)
+
+    # reference formulation: replicate augment_sample's key splits and
+    # stage order, but warp the full grid and crop after
+    h, w = pad_hw
+    (k_flip, k_b1, k_b2, k_bc, k_gamma, k_affine, k_elastic, k_coarse,
+     k_p1, k_p2, k_pbc, k_pg, k_pe, k_pe2) = jax.random.split(key, 14)
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.augment import (
+        _affine_inverse_matrix,
+        _base_grid,
+        _coarse_elastic_field,
+        _elastic_field,
+        bias_field_v1,
+        bias_field_v2,
+        brightness_contrast,
+        center_crop,
+        pad_to,
+        percentile_normalize,
+        random_flip,
+        random_gamma,
+        warp_image,
+        warp_label,
+    )
+
+    im = pad_to(img, pad_hw)
+    lb = pad_to(lbl, pad_hw)
+    im, lb = random_flip(k_flip, im, lb, policy)
+    if policy.perturb_prob > 0:
+        out = bias_field_v1(k_b1, im, policy)
+        im = jnp.where(jax.random.uniform(k_p1, ()) < policy.perturb_prob, out, im)
+    if policy.perturb_v2_prob > 0:
+        out = bias_field_v2(k_b2, im, policy)
+        im = jnp.where(jax.random.uniform(k_p2, ()) < policy.perturb_v2_prob, out, im)
+    if policy.intensity_prob > 0:
+        out = brightness_contrast(k_bc, im, policy)
+        im = jnp.where(jax.random.uniform(k_pbc, ()) < policy.intensity_prob, out, im)
+    if policy.gamma_prob > 0:
+        out = random_gamma(k_gamma, im, policy)
+        im = jnp.where(jax.random.uniform(k_pg, ()) < policy.gamma_prob, out, im)
+    ys, xs = _base_grid(h, w)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    mat, trans = _affine_inverse_matrix(k_affine, policy, h, w)
+    yc = ys - cy - trans[0]
+    xc = xs - cx - trans[1]
+    ya = mat[0, 0] * yc + mat[0, 1] * xc + cy
+    xa = mat[1, 0] * yc + mat[1, 1] * xc + cx
+    dy, dx = _elastic_field(k_elastic, h, w, policy)
+    do = jax.random.uniform(k_pe, ()) < policy.elastic_prob
+    ya = ya + jnp.where(do, dy, 0.0)
+    xa = xa + jnp.where(do, dx, 0.0)
+    dy, dx = _coarse_elastic_field(k_coarse, h, w)
+    do2 = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
+    ya = ya + jnp.where(do2, dy, 0.0)
+    xa = xa + jnp.where(do2, dx, 0.0)
+    want_img = percentile_normalize(center_crop(warp_image(im, ya, xa), crop_hw))
+    want_lbl = center_crop(warp_label(lb, ya, xa, 4), crop_hw)
+
+    np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_lbl), np.asarray(want_lbl))
