@@ -58,7 +58,9 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.fast_conv i
     Conv as _FallbackConv,  # staircase drop-in; stock unless FAST_CONV=1
 )
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def weights_to_wall(w: jnp.ndarray) -> jnp.ndarray:
@@ -220,6 +222,113 @@ def _flip_w(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
 
 
+# -------------------- multi-chip partitioning (pjit + shardy) --------------------
+#
+# pallas_call does not auto-partition under pjit: without help, a sharded
+# trace would all-gather the batch onto every chip.  Both kernels are batch
+# data-parallel (the grid is the batch dim), so `custom_partitioning` teaches
+# the partitioner the obvious SPMD rule instead:
+#   * forward / dx: run the kernel on the local batch shard (no collectives);
+#   * dw: per-shard partial reduction + psum over the mesh axes that shard
+#     the batch (the classic DP gradient all-reduce, riding ICI).
+# Everything around the kernels (BN over the sharded batch, losses, optax)
+# stays under the ordinary pjit partitioner, so numerics and BN semantics
+# are identical to the single-chip path.  The wrappers only engage on
+# multi-device processes; the single-chip bench path is byte-identical.
+
+
+def _dim0_axes(sharding) -> Tuple:
+    """Mesh axis names sharding dim 0 of a NamedSharding (possibly ())."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None or len(spec) == 0 or spec[0] is None:
+        return ()
+    a = spec[0]
+    return tuple(a) if isinstance(a, tuple) else (a,)
+
+
+def _batch_spec(axes, rank: int) -> PartitionSpec:
+    """(axes|None, None, ...) — batch on dim 0, replicated elsewhere."""
+    return PartitionSpec(axes if axes else None, *([None] * (rank - 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_conv_fwd(H: int, W: int, interpret: bool):
+    """custom_partitioning wrapper for the forward/dx kernel."""
+
+    fn = custom_partitioning(
+        lambda x, w: conv3x3_chw(x, w, H=H, W=W, interpret=interpret))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        xs = NamedSharding(mesh, _batch_spec(axes, 3))
+        ws = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+        rs = NamedSharding(mesh, _batch_spec(axes, 3))
+
+        def lower_fn(x, w):
+            return conv3x3_chw(x, w, H=H, W=W, interpret=interpret)
+
+        return mesh, lower_fn, rs, (xs, ws)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        return NamedSharding(mesh, _batch_spec(axes, 3))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b i l, kh kw i o -> b o l")
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_conv_dw(H: int, W: int, interpret: bool):
+    """custom_partitioning wrapper for the weight-grad reduction kernel."""
+
+    fn = custom_partitioning(
+        lambda x, dy: _conv3x3_chw_dw(x, dy, H=H, W=W, interpret=interpret))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        xs = NamedSharding(mesh, _batch_spec(axes, 3))
+        ys = NamedSharding(mesh, _batch_spec(axes, 3))
+        rs = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+        def lower_fn(x, dy):
+            dw = _conv3x3_chw_dw(x, dy, H=H, W=W, interpret=interpret)
+            if axes:
+                dw = jax.lax.psum(dw, axes)
+            return dw
+
+        return mesh, lower_fn, rs, (xs, ys)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b i l, b o l -> kh kw i o",
+        reduction_factors=("b",))
+    return fn
+
+
+def _multi_device() -> bool:
+    """True on processes where pjit may shard the batch over >1 device."""
+    return jax.device_count() > 1
+
+
+def _conv_fwd_dispatch(x_chw, w, H, W, interpret):
+    if _multi_device():
+        return _sharded_conv_fwd(H, W, interpret)(x_chw, w)
+    return conv3x3_chw(x_chw, w, H=H, W=W, interpret=interpret)
+
+
+def _conv_dw_dispatch(x_chw, dy_chw, H, W, interpret):
+    if _multi_device():
+        return _sharded_conv_dw(H, W, interpret)(x_chw, dy_chw)
+    return _conv3x3_chw_dw(x_chw, dy_chw, H=H, W=W, interpret=interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def conv3x3_chw_ad(x_chw, w, H: int, W: int, interpret: bool = False):
     """Differentiable CHW-lanes 3x3 SAME conv (custom VJP).
@@ -227,19 +336,21 @@ def conv3x3_chw_ad(x_chw, w, H: int, W: int, interpret: bool = False):
     dx rides the forward kernel with the flipped/transposed kernel (a SAME
     3x3 conv's input-gradient IS a SAME 3x3 conv); dw is the reduction
     kernel above.  Matches ``jax.grad`` of ``lax.conv_general_dilated`` —
-    pinned by tests/test_pallas_conv.py.
+    pinned by tests/test_pallas_conv.py.  On multi-device processes all
+    three kernels ride the custom_partitioning wrappers so pjit keeps the
+    batch sharded over the mesh (dw all-reduced via psum).
     """
-    return conv3x3_chw(x_chw, w, H=H, W=W, interpret=interpret)
+    return _conv_fwd_dispatch(x_chw, w, H, W, interpret)
 
 
 def _conv_ad_fwd(x_chw, w, H, W, interpret):
-    return conv3x3_chw(x_chw, w, H=H, W=W, interpret=interpret), (x_chw, w)
+    return _conv_fwd_dispatch(x_chw, w, H, W, interpret), (x_chw, w)
 
 
 def _conv_ad_bwd(H, W, interpret, res, dy):
     x_chw, w = res
-    dx = conv3x3_chw(dy, _flip_w(w), H=H, W=W, interpret=interpret)
-    dw = _conv3x3_chw_dw(x_chw, dy, H=H, W=W, interpret=interpret)
+    dx = _conv_fwd_dispatch(dy, _flip_w(w), H, W, interpret)
+    dw = _conv_dw_dispatch(x_chw, dy, H, W, interpret)
     return dx, dw.astype(w.dtype)
 
 
@@ -292,15 +403,15 @@ def pallas_path_available() -> bool:
     """Trace-time gate shared by :class:`Conv` and the fused block paths in
     ``models/blocks.py``: kernel enabled AND a backend it can run on.
 
-    pallas_call does not auto-partition under pjit; on a multi-chip mesh
-    the sharded train step must wrap it in shard_map first.  Until then,
-    multi-device traces route through stock XLA.
+    Multi-device processes are supported: the kernels carry
+    custom_partitioning rules (above) so pjit runs them per-shard on the
+    local batch instead of all-gathering (dw all-reduced via psum).
     """
     if not pallas_conv_enabled():
         return False
     if pallas_interpret_forced():
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return jax.default_backend() == "tpu"
 
 
 def _eligible_channels(c_in: int, c_out: int) -> bool:

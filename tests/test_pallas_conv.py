@@ -170,3 +170,87 @@ def test_fused_chw_res_core_grads_match(monkeypatch, np_rng):
                     jax.tree_util.tree_leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ----------------------- multi-chip partitioning (pjit + shardy) -----------------------
+#
+# pallas_call does not auto-partition; ops/pallas_conv.py teaches pjit the
+# batch-DP rule via custom_partitioning (fwd/dx shard-local, dw psum).  These
+# run the REAL partitioned path on the 8-virtual-device CPU mesh with the
+# kernels in interpret mode.
+
+
+def _data_mesh():
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))
+
+
+def test_sharded_conv_matches_single_device(np_rng):
+    """Batch-sharded conv fwd+bwd over 8 devices == unsharded run; the
+    sharding propagates through (no all-gather of activations)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv as pc,
+    )
+
+    H = W = 12
+    x = jnp.asarray(np_rng.randn(16, 8, H * W).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, 8, 12).astype(np.float32))
+
+    def loss(x, w):
+        y = pc.conv3x3_chw_ad(x, w, H, W, True)
+        return jnp.sum(y * y)
+
+    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    mesh = _data_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, P()))
+    v_sharded, (gx_s, gw_s) = g(xs, ws)
+    v_single, (gx_1, gw_1) = g(x, w)
+
+    np.testing.assert_allclose(float(v_sharded), float(v_single), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_1),
+                               rtol=1e-5, atol=1e-5)
+    # dw crosses a psum -> float reorder tolerance
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_1),
+                               rtol=1e-4, atol=1e-3)
+    # batch sharding must survive the custom call (dim-0 'data' on dx)
+    assert gx_s.sharding.spec[0] == "data"
+    hlo = g.lower(xs, ws).compile().as_text()
+    assert "all-gather" not in hlo
+
+
+def test_sharded_fused_block_matches_single(monkeypatch, np_rng):
+    """The CHW-resident fused _ResCore under pjit over the 8-device mesh
+    (custom-partitioned Pallas convs + pjit-partitioned CHW BatchNorm)
+    matches the single-device fused path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models import (
+        blocks,
+    )
+
+    monkeypatch.setenv("PALLAS_CONV_INTERPRET", "1")
+    x = jnp.asarray(np_rng.randn(16, 12, 12, 8).astype(np.float32))
+    module = blocks._ResCore(features=16)
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+    assert blocks._fused_chw_ok(x, 16)
+
+    def loss(params, x):
+        out, _ = module.apply({"params": params,
+                               "batch_stats": variables["batch_stats"]},
+                              x, train=True, mutable=["batch_stats"])
+        return jnp.mean(out * out)
+
+    g = jax.jit(jax.value_and_grad(loss))
+    mesh = _data_mesh()
+    ps = jax.device_put(variables["params"], NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    v_sharded, grads_s = g(ps, xs)
+    v_single, grads_1 = g(variables["params"], x)
+
+    np.testing.assert_allclose(float(v_sharded), float(v_single),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_1),
+                    jax.tree_util.tree_leaves(grads_s)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
