@@ -35,8 +35,10 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache imp
 enable_compilation_cache()
 
 from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (  # noqa: E402
+    chw_phase_split,
     conv3x3_chw,
     conv3x3_nhwc_via_chw,
+    conv3x3s2_phase,
     nhwc_to_chw,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.utils.profiling import (  # noqa: E402
@@ -92,6 +94,37 @@ def main():
             out["kernel_speedup"] = round(out["stock_ms"] / out["pallas_chw_ms"], 2)
         if "stock_ms" in out and "pallas_nhwc_ms" in out:
             out["wrapped_speedup"] = round(out["stock_ms"] / out["pallas_nhwc_ms"], 2)
+        print(json.dumps(out), flush=True)
+
+    # stride-2 downsample stages (torch Conv2d(C, C, 3, s2, p1) — the
+    # ResConvDown entry convs): stock NHWC vs the phase kernel, both from
+    # the layout each rides in production (NHWC vs CHW-resident + split).
+    for h, c in [(192, 16), (96, 32), (48, 64), (24, 128)]:
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (args.batch, h, h, c), dtype)
+        x_chw = jnp.asarray(jax.device_get(nhwc_to_chw(x)))
+        w = jax.random.normal(key, (3, 3, c, c), dtype) * 0.1
+        flops = 2.0 * args.batch * (h // 2) * (h // 2) * 9 * c * c
+        out = {"stage": f"s2 {h}^2 {c}->{c}", "batch": args.batch}
+        variants = (
+            ("stock_s2", lambda cst: lax.conv_general_dilated(
+                x + cst.astype(dtype), w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))),
+            ("pallas_s2", lambda cst: conv3x3s2_phase(
+                chw_phase_split(x_chw + cst.astype(dtype), h, h),
+                w, H=h, W=h)),
+        )
+        for name, fn in variants:
+            try:
+                t = fused_scan_marginal(
+                    lambda K: serialize_scan(fn, K),
+                    k_small=args.k_small, k_large=args.k_large, reps=4)
+                out[f"{name}_ms"] = round(1e3 * t, 4)
+                out[f"{name}_tflops"] = round(flops / t / 1e12, 1)
+            except Exception as e:
+                out[f"{name}_error"] = repr(e)[:200]
+        if "stock_s2_ms" in out and "pallas_s2_ms" in out:
+            out["s2_speedup"] = round(out["stock_s2_ms"] / out["pallas_s2_ms"], 2)
         print(json.dumps(out), flush=True)
 
 

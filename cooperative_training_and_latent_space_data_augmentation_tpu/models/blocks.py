@@ -34,9 +34,11 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv
     # small-channel 3x3 s1 stages (falls back to the staircase drop-in, then
     # stock nn.Conv, by toggle/eligibility)
     _eligible_channels,
+    chw_phase_split,
     chw_to_nhwc,
     nhwc_to_chw,
     pallas_path_available,
+    pallas_s2_enabled,
 )
 
 # Torch BatchNorm2d defaults: momentum=0.1 (i.e. flax momentum 0.9), eps=1e-5.
@@ -54,6 +56,23 @@ def _fused_chw_ok(x, features: int) -> bool:
             and x.ndim == 4
             and _eligible_channels(x.shape[-1], features)
             and _eligible_channels(features, features))
+
+
+def chw_chain_ok(c_in: int, features: int) -> bool:
+    """Trace-time gate for CHW STAGE CHAINING (encoder_decoder.py drivers):
+    like :func:`_fused_chw_ok` but on channel counts (the activation may
+    already be CHW-resident from the previous stage)."""
+    return (pallas_path_available()
+            and _eligible_channels(c_in, features)
+            and _eligible_channels(features, features))
+
+
+def s2_chain_ok(c_in: int, features: int, h: int, w: int) -> bool:
+    """Gate for the stride-2 phase-kernel downsample path in ResConvDown."""
+    return (pallas_s2_enabled()
+            and chw_chain_ok(c_in, features)
+            and _eligible_channels(c_in, c_in)
+            and h % 2 == 0 and w % 2 == 0)
 
 
 def bn_scale_init(key, shape, dtype=jnp.float32):
@@ -189,7 +208,7 @@ class ConvBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 for MXU speed)
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, keep_chw: bool = False):
         dt = self.dtype or x.dtype
         conv1 = FastConv(self.features, (3, 3), padding="SAME",
                          kernel_init=conv_kernel_init, dtype=dt)
@@ -200,7 +219,9 @@ class ConvBlock(nn.Module):
         if _fused_chw_ok(x, self.features):
             # CHW-resident chain: ONE layout transpose in, one out, instead
             # of one per conv — BN/LReLU run on the (N, C, H*W) activations
-            # between the two Pallas convs.
+            # between the two Pallas convs.  ``keep_chw=True`` (stage
+            # chaining: the caller verified the gate) skips the trailing
+            # transpose and returns (N, C, H*W).
             n, hh, ww, _ = x.shape
             h = nhwc_to_chw(x)
             h = conv1(h, chw=(hh, ww))
@@ -208,7 +229,8 @@ class ConvBlock(nn.Module):
             h = leaky_relu(h)
             h = conv2(h, chw=(hh, ww))
             h = bn2(h, use_running_average=not train, channel_axis=1)
-            return chw_to_nhwc(h, hh, ww)
+            return h if keep_chw else chw_to_nhwc(h, hh, ww)
+        assert not keep_chw, "keep_chw caller must verify the fused gate"
         x = conv1(x)
         x = bn1(x, use_running_average=not train)
         x = leaky_relu(x)
@@ -225,7 +247,8 @@ class _ResCore(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool,
+                 chw: Optional[tuple] = None, keep_chw: bool = False):
         dt = self.dtype or x.dtype
         # FastConv (class name "Conv") for the 1x1 shortcut keeps the flax
         # auto-names identical to the previous nn.Conv ("Conv_0"); its
@@ -238,21 +261,32 @@ class _ResCore(nn.Module):
         conv2 = FastConv(self.features, (3, 3), padding="SAME",
                          kernel_init=conv_kernel_init, dtype=dt)
         bn2 = BatchNorm()
-        if _fused_chw_ok(x, self.features):
+        if chw is not None or _fused_chw_ok(x, self.features):
             # CHW-resident residual core: one transpose in/out for the whole
             # [1x1-shortcut || conv3-BN-LReLU-conv3-BN] chain (the NHWC path
             # below pays one per conv); the shortcut is a channel matmul in
             # this layout, and the residual add + LReLU stay in (N, C, H*W).
-            n, hh, ww, _ = x.shape
-            xc = nhwc_to_chw(x)
+            # ``chw=(h, w)`` means x is ALREADY (N, C, H*W) (stage chaining —
+            # the caller verified the gate); ``keep_chw=True`` returns that
+            # layout.
+            if chw is not None:
+                hh, ww = chw
+                xc = x
+            else:
+                n, hh, ww, _ = x.shape
+                xc = nhwc_to_chw(x)
             sc = sc_conv(xc, chw=(hh, ww))
             h = conv1(xc, chw=(hh, ww))
             h = bn1(h, use_running_average=not train, channel_axis=1)
             h = leaky_relu(h)
             h = conv2(h, chw=(hh, ww))
             h = bn2(h, use_running_average=not train, channel_axis=1)
-            out = chw_to_nhwc(leaky_relu(sc.astype(h.dtype) + h), hh, ww)
+            out = leaky_relu(sc.astype(h.dtype) + h)
+            if not keep_chw:
+                out = chw_to_nhwc(out, hh, ww)
+            drop_dims = (2,) if keep_chw else (1, 2)
         else:
+            assert not keep_chw, "keep_chw caller must verify the fused gate"
             shortcut = sc_conv(x)
             h = conv1(x)
             h = bn1(h, use_running_average=not train)
@@ -260,11 +294,13 @@ class _ResCore(nn.Module):
             h = conv2(h)
             h = bn2(h, use_running_average=not train)
             out = leaky_relu(shortcut.astype(h.dtype) + h)
+            drop_dims = (1, 2)
         if self.dropout is not None and self.dropout > 0:
-            # Channel dropout (torch nn.Dropout2d): drop whole feature maps.
+            # Channel dropout (torch nn.Dropout2d): drop whole feature maps —
+            # in CHW layout that is broadcasting over the flat pixel dim.
             out = nn.Dropout(
                 rate=self.dropout,
-                broadcast_dims=(1, 2),  # share mask over H, W
+                broadcast_dims=drop_dims,  # share mask over H, W
                 deterministic=not train,
             )(out)
         return out
@@ -278,12 +314,34 @@ class ResConvDown(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool,
+                 chw: Optional[tuple] = None, keep_chw: bool = False):
         # torch Conv2d(in, in, 3, stride=2, padding=1): for even inputs this
         # takes pixels at odd offsets; SAME padding with stride 2 matches the
         # output size (H/2) for even H.
+        dt = self.dtype or x.dtype
+        if chw is not None:
+            hh, ww = chw
+            c_in = x.shape[1]
+        elif x.ndim == 4:
+            _, hh, ww, c_in = x.shape
+        if chw is not None or s2_chain_ok(c_in, self.features, hh, ww):
+            # Phase-kernel downsample (ops/pallas_conv.py stride-2 path): the
+            # phase split replaces the NHWC boundary transpose, the conv runs
+            # on the MXU, and the stage stays CHW-resident into the residual
+            # core.  FastConv is still auto-named "Conv_0" — identical
+            # parameter tree.
+            xc = x if chw is not None else nhwc_to_chw(x)
+            xp = chw_phase_split(xc, hh, ww)
+            h = FastConv(c_in, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)),
+                         kernel_init=conv_kernel_init, dtype=dt)(
+                             xp, phase_chw=(hh, ww))
+            return _ResCore(self.features, self.dropout, self.dtype)(
+                h, train, chw=(hh // 2, ww // 2), keep_chw=keep_chw)
+        assert not keep_chw, "keep_chw caller must verify s2_chain_ok"
         x = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    kernel_init=conv_kernel_init, dtype=self.dtype or x.dtype)(x)
+                    kernel_init=conv_kernel_init, dtype=dt)(x)
         return _ResCore(self.features, self.dropout, self.dtype)(x, train)
 
 
@@ -292,6 +350,42 @@ def upsample_nearest(x, factor: int = 2):
     x = jnp.repeat(x, factor, axis=1)
     x = jnp.repeat(x, factor, axis=2)
     return x
+
+
+def upsample_nearest_chw(x_chw, H: int, W: int, factor: int = 2):
+    """Nearest-neighbor x2 on (N, C, H*W) activations without leaving the
+    CHW-lanes layout (no NHWC round trip): reshape + repeat on the spatial
+    axes, channels stay on the sublane dim."""
+    n, c, L = x_chw.shape
+    x = x_chw.reshape(n, c, H, W)
+    x = jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
+    return x.reshape(n, c, H * W * factor * factor)
+
+
+def upsample_bilinear_chw(x_chw, H: int, W: int, factor: int = 2):
+    """align_corners=True bilinear x`factor` on (N, C, H*W) (same sampling
+    grid as :func:`upsample_bilinear`, spatial gathers on the trailing axes
+    of the reshaped (N, C, H, W) view)."""
+    n, c, L = x_chw.shape
+    x = x_chw.reshape(n, c, H, W)
+    oh, ow = H * factor, W * factor
+
+    def coords(out_n, in_n):
+        if out_n == 1 or in_n == 1:
+            return jnp.zeros((out_n,), jnp.float32)
+        return jnp.arange(out_n, dtype=jnp.float32) * ((in_n - 1) / (out_n - 1))
+
+    ys, xs = coords(oh, H), coords(ow, W)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    fy = (ys - y0).reshape(1, 1, oh, 1).astype(x.dtype)
+    fx = (xs - x0).reshape(1, 1, 1, ow).astype(x.dtype)
+    top = x[:, :, y0][:, :, :, x0] * (1 - fx) + x[:, :, y0][:, :, :, x1] * fx
+    bot = x[:, :, y1][:, :, :, x0] * (1 - fx) + x[:, :, y1][:, :, :, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return out.reshape(n, c, oh * ow)
 
 
 def upsample_bilinear(x, factor: int = 2):
@@ -334,7 +428,23 @@ class ResUp(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool,
+                 chw: Optional[tuple] = None, keep_chw: bool = False):
+        if chw is not None:
+            # CHW-resident stage chaining (caller verified chw_chain_ok and
+            # an upsample type with a CHW path): upsample on the (N, C, H*W)
+            # view, residual core stays in the kernel layout.
+            hh, ww = chw
+            if self.up_type == "NN":
+                x = upsample_nearest_chw(x, hh, ww)
+            elif self.up_type == "bilinear":
+                x = upsample_bilinear_chw(x, hh, ww)
+            else:
+                raise NotImplementedError(
+                    f"no CHW path for up_type {self.up_type!r}")
+            return _ResCore(self.features, self.dropout, self.dtype)(
+                x, train, chw=(hh * 2, ww * 2), keep_chw=keep_chw)
+        assert not keep_chw, "keep_chw caller must verify the chain gate"
         in_ch = x.shape[-1]
         dt = self.dtype or x.dtype
         if self.up_type == "NN":

@@ -29,8 +29,15 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks i
     ConvBlock,
     ResConvDown,
     ResUp,
+    chw_chain_ok,
     conv_kernel_init,
     leaky_relu,
+    s2_chain_ok,
+)
+from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+    chw_to_nhwc,
+    nhwc_to_chw,
+    pallas_s2_enabled,
 )
 
 _ACTS = {
@@ -57,12 +64,37 @@ class Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         f = self.feature_reduce
         dt = self.dtype
-        x1 = ConvBlock(64 // f, dtype=dt)(x, train)
+
+        # CHW STAGE CHAINING: while consecutive stages are inside the Pallas
+        # kernel's win region (<=64 ch), activations stay in the (N, C, H*W)
+        # kernel layout ACROSS stage boundaries — the stride-2 downsample
+        # rides the phase kernel (ops/pallas_conv.py) instead of a stock
+        # NHWC conv, so no transposes occur between inc and the first
+        # >64-channel stage.  `hw` tracks the CHW dims (None = NHWC).
+        chain0 = (pallas_s2_enabled()
+                  and chw_chain_ok(x.shape[-1], 64 // f))
+        x1 = ConvBlock(64 // f, dtype=dt)(x, train, keep_chw=chain0)
         x1 = leaky_relu(x1)
-        x2 = ResConvDown(128 // f, self.dropout, dtype=dt)(x1, train)
-        x3 = ResConvDown(256 // f, self.dropout, dtype=dt)(x2, train)
-        x4 = ResConvDown(512 // f, self.dropout, dtype=dt)(x3, train)
-        x5 = ResConvDown(512 // f, self.dropout, dtype=dt)(x4, train)
+        hw = (x.shape[1], x.shape[2]) if chain0 else None
+
+        def down(feats, xin, hw):
+            cur = hw is not None
+            c_in = xin.shape[1] if cur else xin.shape[-1]
+            dims = hw if cur else (xin.shape[1], xin.shape[2])
+            if s2_chain_ok(c_in, feats, *dims):
+                out = ResConvDown(feats, self.dropout, dtype=dt)(
+                    xin, train, chw=hw, keep_chw=True)
+                return out, (dims[0] // 2, dims[1] // 2)
+            if cur:
+                xin = chw_to_nhwc(xin, *hw)
+            return ResConvDown(feats, self.dropout, dtype=dt)(xin, train), None
+
+        x2, hw = down(128 // f, x1, hw)
+        x3, hw = down(256 // f, x2, hw)
+        x4, hw = down(512 // f, x3, hw)
+        x5, hw = down(512 // f, x4, hw)
+        if hw is not None:
+            x5 = chw_to_nhwc(x5, *hw)
         # latent head stays float32: the latent code is what gets masked and
         # differentiated through during hard-example generation.
         x5 = nn.Conv(512 // f, (1, 1), kernel_init=conv_kernel_init,
@@ -93,10 +125,34 @@ class Decoder(nn.Module):
     def __call__(self, z, train: bool = False):
         f = self.feature_reduce
         dt = self.dtype
-        x = ResUp(256 // f, self.up_type, self.dropout, dtype=dt)(z, train)
-        x = ResUp(128 // f, self.up_type, self.dropout, dtype=dt)(x, train)
-        x = ResUp(64 // f, self.up_type, self.dropout, dtype=dt)(x, train)
-        x = ResUp(64 // f, self.up_type, self.dropout, dtype=dt)(x, train)
+
+        # CHW stage chaining (see Encoder): NN/bilinear upsamples have a CHW
+        # path (blocks.upsample_*_chw), so once the channel widths enter the
+        # Pallas win region the whole tail of the decoder stays in the kernel
+        # layout with no per-stage NHWC round trips.
+        def up(feats, xin, hw):
+            cur = hw is not None
+            c_in = xin.shape[1] if cur else xin.shape[-1]
+            dims = hw if cur else (xin.shape[1], xin.shape[2])
+            can = (pallas_s2_enabled()
+                   and self.up_type in ("NN", "bilinear")
+                   and chw_chain_ok(c_in, feats))
+            if can:
+                xc = xin if cur else nhwc_to_chw(xin)
+                out = ResUp(feats, self.up_type, self.dropout, dtype=dt)(
+                    xc, train, chw=dims, keep_chw=True)
+                return out, (dims[0] * 2, dims[1] * 2)
+            if cur:
+                xin = chw_to_nhwc(xin, *hw)
+            return ResUp(feats, self.up_type, self.dropout,
+                         dtype=dt)(xin, train), None
+
+        x, hw = up(256 // f, z, None)
+        x, hw = up(128 // f, x, hw)
+        x, hw = up(64 // f, x, hw)
+        x, hw = up(64 // f, x, hw)
+        if hw is not None:
+            x = chw_to_nhwc(x, *hw)
         # output head stays float32: losses/softmax consume these logits.
         x = nn.Conv(self.output_channel, (1, 1), kernel_init=conv_kernel_init,
                     dtype=jnp.float32)(x.astype(jnp.float32))

@@ -357,6 +357,275 @@ def _conv_ad_bwd(H, W, interpret, res, dy):
 conv3x3_chw_ad.defvjp(_conv_ad_fwd, _conv_ad_bwd)
 
 
+# ------------------------- stride-2 (phase-decomposed) -------------------------
+#
+# The encoder's downsample convs (torch Conv2d(C, C, 3, stride=2, padding=1),
+# medseg/models/ebm/encoder_decoder.py:23-27) read input pixels 2r+ki-1.
+# Writing 2r+ki-1 = 2(r+dr)+pi with pi=(ki+1)%2, dr=(ki-1-pi)//2 in {-1, 0}
+# shows each tap is a SHIFTED copy of one of the four parity PHASES of the
+# input.  So after a phase split (N, C, H*W) -> (N, 4C, (H/2)(W/2)) — a plain
+# XLA relayout that REPLACES the NHWC boundary transpose — the stride-2 conv
+# has exactly the stride-1 kernel's structure: rolls + edge masks to build a
+# (9*C_in, L/4) tap matrix, one MXU matmul per image.  Only the ki=0 / kj=0
+# taps mask (top row / left column); P is 4x smaller than the stride-1 one.
+
+
+def chw_phase_split(x_chw: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(N, C, H*W) -> (N, 4C, (H/2)*(W/2)); channel block p = 2*pi+pj holds
+    the (row%2==pi, col%2==pj) phase.  Plain XLA ops (outside the kernel)."""
+    n, c, L = x_chw.shape
+    assert L == H * W and H % 2 == 0 and W % 2 == 0, (x_chw.shape, H, W)
+    x = x_chw.reshape(n, c, H // 2, 2, W // 2, 2)
+    x = x.transpose(0, 3, 5, 1, 2, 4)                # (n, pi, pj, c, H2, W2)
+    return x.reshape(n, 4 * c, (H // 2) * (W // 2))
+
+
+def chw_phase_merge(xp: jnp.ndarray, H2: int, W2: int) -> jnp.ndarray:
+    """Inverse of :func:`chw_phase_split`: (N, 4C, H2*W2) -> (N, C, 4*H2*W2)."""
+    n, c4, L4 = xp.shape
+    c = c4 // 4
+    x = xp.reshape(n, 2, 2, c, H2, W2)
+    x = x.transpose(0, 3, 4, 1, 5, 2)                # (n, c, H2, pi, W2, pj)
+    return x.reshape(n, c, 4 * H2 * W2)
+
+
+def _s2_taps(W2: int):
+    """Per-tap (phase block, lane offset, masks_top_row, masks_left_col)."""
+    taps = []
+    for ki in range(3):
+        for kj in range(3):
+            pi, pj = (ki + 1) % 2, (kj + 1) % 2
+            dr, dc = (ki - 1 - pi) // 2, (kj - 1 - pj) // 2
+            taps.append((2 * pi + pj, dr * W2 + dc, dr == -1, dc == -1))
+    return taps
+
+
+def _build_p_s2(xp, H2: int, W2: int, C_in: int):
+    """Tap matrix P (9*C_in, L4) from the phase-split input (4*C_in, L4)."""
+    L4 = H2 * W2
+    xp32 = xp.astype(jnp.float32)
+    g = jax.lax.broadcasted_iota(jnp.int32, (1, L4), 1)
+    parts = []
+    for p, off, mask_top, mask_left in _s2_taps(W2):
+        block = jax.lax.dynamic_slice_in_dim(xp32, p * C_in, C_in, axis=0)
+        shifted = _roll_lanes(block, -off)
+        valid = jnp.ones((1, L4), jnp.bool_)
+        if mask_top:
+            valid = jnp.logical_and(valid, g >= W2)
+        if mask_left:
+            valid = jnp.logical_and(valid, (g % W2) != 0)
+        parts.append(jnp.where(valid, shifted, 0.0).astype(xp.dtype))
+    return jnp.concatenate(parts, axis=0)            # (9*C_in, L4)
+
+
+def _conv_s2_kernel(xp_ref, w_ref, o_ref, *, H2: int, W2: int, C_in: int):
+    p = _build_p_s2(xp_ref[0], H2, W2, C_in)
+    acc = jax.lax.dot_general(
+        w_ref[:], p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (C_out, L4)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def conv3x3s2_phase(xp: jnp.ndarray, w: jnp.ndarray, *, H: int, W: int,
+                    interpret: bool = False):
+    """Stride-2 SAME(pad 1) 3x3 conv on phase-split input.
+
+    Args:
+      xp: (N, 4*C_in, (H/2)*(W/2)) from :func:`chw_phase_split`.
+      w: (3, 3, C_in, C_out) HWIO kernel.  H, W are the PRE-downsample dims.
+    Returns (N, C_out, (H/2)*(W/2)).
+    """
+    n, c4, L4 = xp.shape
+    c_in = c4 // 4
+    H2, W2 = H // 2, W // 2
+    assert L4 == H2 * W2, (xp.shape, H, W)
+    c_out = w.shape[-1]
+    w_all = weights_to_wall(w).astype(xp.dtype)
+    kern = functools.partial(_conv_s2_kernel, H2=H2, W2=W2, C_in=c_in)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c4, L4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, 9 * c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_out, L4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, L4), xp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, w_all)
+
+
+def _dx_s2_kernel(dy_ref, w_ref, o_ref, *, H2: int, W2: int, C_in: int):
+    """d(conv_s2)/d(xp): dP = W_all^T @ dy, scattered back into the four
+    phase blocks with the inverse rolls (the forward mask zeros first, so
+    wrapped lanes carry no stale contribution)."""
+    L4 = H2 * W2
+    dy32 = dy_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        w_ref[:], dy32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (9*C_in, L4)
+    g = jax.lax.broadcasted_iota(jnp.int32, (1, L4), 1)
+    blocks = [jnp.zeros((C_in, L4), jnp.float32) for _ in range(4)]
+    for t, (p, off, mask_top, mask_left) in enumerate(_s2_taps(W2)):
+        dpt = jax.lax.dynamic_slice_in_dim(dp, t * C_in, C_in, axis=0)
+        valid = jnp.ones((1, L4), jnp.bool_)
+        if mask_top:
+            valid = jnp.logical_and(valid, g >= W2)
+        if mask_left:
+            valid = jnp.logical_and(valid, (g % W2) != 0)
+        blocks[p] = blocks[p] + _roll_lanes(jnp.where(valid, dpt, 0.0), off)
+    o_ref[0] = jnp.concatenate(blocks, axis=0).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _conv3x3s2_phase_dx(dy: jnp.ndarray, w: jnp.ndarray, *, H: int, W: int,
+                        interpret: bool = False):
+    n, c_out, L4 = dy.shape
+    c_in = w.shape[2]
+    H2, W2 = H // 2, W // 2
+    w_all = weights_to_wall(w).astype(jnp.float32)    # (C_out, 9*C_in)
+    kern = functools.partial(_dx_s2_kernel, H2=H2, W2=W2, C_in=c_in)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c_out, L4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, 9 * c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * c_in, L4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4 * c_in, L4), dy.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dy, w_all)
+
+
+def _dw_s2_kernel(xp_ref, dy_ref, o_ref, *, H2: int, W2: int, C_in: int):
+    i = pl.program_id(0)
+    p = _build_p_s2(xp_ref[0], H2, W2, C_in)
+    acc = jax.lax.dot_general(
+        p, dy_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (9*C_in, C_out)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = acc
+
+    @pl.when(i > 0)
+    def _acc():
+        o_ref[...] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _conv3x3s2_phase_dw(xp, dy, *, H: int, W: int, interpret: bool = False):
+    n, c4, L4 = xp.shape
+    c_in = c4 // 4
+    c_out = dy.shape[1]
+    H2, W2 = H // 2, W // 2
+    kern = functools.partial(_dw_s2_kernel, H2=H2, W2=W2, C_in=c_in)
+    dw_wall = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c4, L4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out, L4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * c_in, c_out), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * c_in, c_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dy)
+    return dw_wall.reshape(3, 3, c_in, c_out)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_s2(which: str, H: int, W: int, interpret: bool):
+    """custom_partitioning wrappers for the stride-2 kernels (same batch-DP
+    rules as the stride-1 ones: fwd/dx shard-local, dw psum)."""
+    base = {"fwd": lambda xp, w: conv3x3s2_phase(
+                xp, w, H=H, W=W, interpret=interpret),
+            "dx": lambda dy, w: _conv3x3s2_phase_dx(
+                dy, w, H=H, W=W, interpret=interpret),
+            "dw": lambda xp, dy: _conv3x3s2_phase_dw(
+                xp, dy, H=H, W=W, interpret=interpret)}[which]
+    fn = custom_partitioning(base)
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        if which == "dw":
+            arg_sh = (NamedSharding(mesh, _batch_spec(axes, 3)),
+                      NamedSharding(mesh, _batch_spec(axes, 3)))
+            rs = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+            def lower_fn(xp, dy):
+                dw = base(xp, dy)
+                return jax.lax.psum(dw, axes) if axes else dw
+        else:
+            arg_sh = (NamedSharding(mesh, _batch_spec(axes, 3)),
+                      NamedSharding(mesh, PartitionSpec(None, None, None, None)))
+            rs = NamedSharding(mesh, _batch_spec(axes, 3))
+            lower_fn = base
+        return mesh, lower_fn, rs, arg_sh
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        if which == "dw":
+            return NamedSharding(mesh, PartitionSpec(None, None, None, None))
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        return NamedSharding(mesh, _batch_spec(axes, 3))
+
+    rules = {"fwd": "b i l, kh kw j o -> b o l",
+             "dx": "b o l, kh kw j p -> b i l",
+             "dw": "b i l, b o l -> kh kw j o"}
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule=rules[which],
+        reduction_factors=("b",) if which == "dw" else ())
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3x3s2_phase_ad(xp, w, H: int, W: int, interpret: bool = False):
+    """Differentiable stride-2 phase conv (custom VJP; multi-device via
+    custom_partitioning).  Matches ``jax.grad`` of the stride-2
+    ``lax.conv_general_dilated`` through the phase split — pinned by
+    tests/test_pallas_conv.py."""
+    if _multi_device():
+        return _sharded_s2("fwd", H, W, interpret)(xp, w)
+    return conv3x3s2_phase(xp, w, H=H, W=W, interpret=interpret)
+
+
+def _conv_s2_ad_fwd(xp, w, H, W, interpret):
+    return conv3x3s2_phase_ad(xp, w, H, W, interpret), (xp, w)
+
+
+def _conv_s2_ad_bwd(H, W, interpret, res, dy):
+    xp, w = res
+    if _multi_device():
+        dxp = _sharded_s2("dx", H, W, interpret)(dy, w)
+        dw = _sharded_s2("dw", H, W, interpret)(xp, dy)
+    else:
+        dxp = _conv3x3s2_phase_dx(dy, w, H=H, W=W, interpret=interpret)
+        dw = _conv3x3s2_phase_dw(xp, dy, H=H, W=W, interpret=interpret)
+    return dxp.astype(xp.dtype), dw.astype(w.dtype)
+
+
+conv3x3s2_phase_ad.defvjp(_conv_s2_ad_fwd, _conv_s2_ad_bwd)
+
+
 def nhwc_to_chw(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) -> (N, C, H*W) (the kernel's canonical layout)."""
     n, h, w, c = x.shape
@@ -390,6 +659,12 @@ def pallas_conv_enabled() -> bool:
     """Global trace-time switch for the CHW-lanes kernel (PALLAS_CONV env,
     default ON; set PALLAS_CONV=0 for the stock-XLA A/B control)."""
     return os.environ.get("PALLAS_CONV", "1") == "1"
+
+
+def pallas_s2_enabled() -> bool:
+    """Trace-time switch for the stride-2 phase kernel + CHW stage chaining
+    (PALLAS_CONV_S2 env, default ON; set 0 for the A/B control)."""
+    return os.environ.get("PALLAS_CONV_S2", "1") == "1"
 
 
 def pallas_interpret_forced() -> bool:
@@ -436,13 +711,33 @@ class Conv(_FallbackConv):
     """
 
     @nn.compact
-    def __call__(self, x, chw: Optional[Tuple[int, int]] = None):
+    def __call__(self, x, chw: Optional[Tuple[int, int]] = None,
+                 phase_chw: Optional[Tuple[int, int]] = None):
         strides = self.strides or 1
         strides = ((strides, strides) if isinstance(strides, int)
                    else tuple(strides))
         ks = self.kernel_size
         ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
         interpret = pallas_interpret_forced()
+        if phase_chw is not None:
+            # Stride-2 phase entry (ResConvDown downsample): x is the
+            # phase-split (N, 4*C_in, (H/2)*(W/2)); phase_chw = PRE-downsample
+            # (H, W).  Caller guarantees eligibility.
+            h, w_cols = phase_chw
+            assert x.ndim == 3 and x.shape[2] == (h // 2) * (w_cols // 2), \
+                (x.shape, phase_chw)
+            assert ks == (3, 3) and strides == (2, 2), (ks, strides)
+            c_in = x.shape[1] // 4
+            kernel = self.param("kernel", self.kernel_init,
+                                (3, 3, c_in, self.features), self.param_dtype)
+            bias = (self.param("bias", self.bias_init, (self.features,),
+                               self.param_dtype) if self.use_bias else None)
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+            y = conv3x3s2_phase_ad(x, kernel, h, w_cols, interpret)
+            if bias is not None:
+                y = y + bias[:, None].astype(y.dtype)
+            return y
         if chw is not None:
             # CHW-resident entry (fused block paths in models/blocks.py):
             # x is (N, C_in, H*W); the CALLER guarantees eligibility

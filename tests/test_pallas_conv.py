@@ -254,3 +254,164 @@ def test_sharded_fused_block_matches_single(monkeypatch, np_rng):
                     jax.tree_util.tree_leaves(grads_s)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ----------------------- stride-2 phase kernel + CHW stage chaining -----------------------
+
+
+def _stock_s2(x, w):
+    return lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_phase_split_round_trip(np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv as pc,
+    )
+
+    x = jnp.asarray(np_rng.randn(3, 16, 12, 5).astype(np.float32))
+    xc = pc.nhwc_to_chw(x)
+    back = pc.chw_phase_merge(pc.chw_phase_split(xc, 16, 12), 8, 6)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(xc))
+
+
+def test_stride2_phase_conv_matches_stock(np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv as pc,
+    )
+
+    H, W, cin, cout = 16, 12, 5, 7
+    x = jnp.asarray(np_rng.randn(3, H, W, cin).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+    xp = pc.chw_phase_split(pc.nhwc_to_chw(x), H, W)
+    got = pc.conv3x3s2_phase(xp, w, H=H, W=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(pc.nhwc_to_chw(_stock_s2(x, w))),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride2_custom_vjp_matches_stock_grads(np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv as pc,
+    )
+
+    H, W, cin, cout = 12, 16, 4, 6
+    x = jnp.asarray(np_rng.randn(2, H, W, cin).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+
+    def loss_pallas(x, w):
+        xp = pc.chw_phase_split(pc.nhwc_to_chw(x), H, W)
+        return jnp.sum(jnp.sin(pc.conv3x3s2_phase_ad(xp, w, H, W, True)))
+
+    def loss_stock(x, w):
+        return jnp.sum(jnp.sin(pc.nhwc_to_chw(_stock_s2(x, w))))
+
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(loss_stock, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride2_sharded_matches_single_device(np_rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv as pc,
+    )
+
+    H, W, cin, cout = 8, 8, 4, 6
+    x = jnp.asarray(np_rng.randn(16, H, W, cin).astype(np.float32))
+    w = jnp.asarray(0.2 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+
+    def loss(x, w):
+        xp = pc.chw_phase_split(pc.nhwc_to_chw(x), H, W)
+        return jnp.sum(jnp.sin(pc.conv3x3s2_phase_ad(xp, w, H, W, True)))
+
+    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    mesh = _data_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, P()))
+    v_s, (gx_s, gw_s) = g(xs, ws)
+    v_1, (gx_1, gw_1) = g(x, w)
+    np.testing.assert_allclose(float(v_s), float(v_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_1),
+                               rtol=1e-4, atol=1e-3)
+    assert "all-gather" not in g.lower(xs, ws).compile().as_text()
+
+
+def _grads_close(g_ref, g_got, rtol=5e-4):
+    """Grad-tree comparison with a zero-grad-aware atol: conv biases feeding
+    train-mode BatchNorm have an EXACT zero gradient (the batch-mean
+    subtraction cancels any bias shift), so those leaves are pure float
+    noise on both sides — atol is scaled to the tree's global grad
+    magnitude instead of per-leaf."""
+    leaves_ref = jax.tree_util.tree_leaves(g_ref)
+    gscale = max(float(jnp.max(jnp.abs(l))) for l in leaves_ref)
+    atol = 2e-4 * max(gscale, 1.0)
+    for a, b in zip(leaves_ref, jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("case", ["encoder", "decoder_nn", "decoder_bilinear"])
+def test_chw_stage_chaining_matches_stock(monkeypatch, np_rng, case):
+    """Full Encoder/Decoder with CHW stage chaining + stride-2 phase kernel
+    (PALLAS_CONV_INTERPRET + PALLAS_CONV_S2) vs the stock NHWC path: same
+    param tree, same outputs, same emitted batch stats, same grads."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.models.encoder_decoder import (
+        Decoder,
+        Encoder,
+    )
+
+    if case == "encoder":
+        # 32x32 bottoms out at a 2x2 latent; 16x16 would reach 1x1, where
+        # BatchNorm variance over 2 values amplifies float reorder noise
+        # past any useful tolerance.
+        module = Encoder(feature_reduce=4)
+        inp = jnp.asarray(np_rng.rand(2, 32, 32, 1).astype(np.float32))
+    else:
+        up = "NN" if case == "decoder_nn" else "bilinear"
+        module = Decoder(output_channel=4, up_type=up)
+        inp = jnp.asarray(np_rng.rand(2, 2, 2, 128).astype(np.float32))
+
+    def run(fused):
+        if fused:
+            monkeypatch.setenv("PALLAS_CONV_INTERPRET", "1")
+            monkeypatch.setenv("PALLAS_CONV_S2", "1")
+        else:
+            monkeypatch.delenv("PALLAS_CONV_INTERPRET", raising=False)
+            monkeypatch.setenv("PALLAS_CONV_S2", "0")
+        variables = module.init(jax.random.PRNGKey(0), inp, train=False)
+        out, mut = module.apply(variables, inp, train=True,
+                                mutable=["batch_stats"])
+
+        def loss(p):
+            o, _ = module.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                inp, train=True, mutable=["batch_stats"])
+            return jnp.mean(o * o)
+
+        g = jax.grad(loss)(variables["params"])
+        monkeypatch.delenv("PALLAS_CONV_INTERPRET", raising=False)
+        monkeypatch.delenv("PALLAS_CONV_S2", raising=False)
+        return variables, out, mut["batch_stats"], g
+
+    v_s, out_s, bs_s, g_s = run(False)
+    v_f, out_f, bs_f, g_f = run(True)
+    # identical parameter trees: checkpoints are layout-oblivious
+    assert (jax.tree_util.tree_structure(v_s)
+            == jax.tree_util.tree_structure(v_f))
+    for a, b in zip(jax.tree_util.tree_leaves(v_s),
+                    jax.tree_util.tree_leaves(v_f)):
+        assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               rtol=3e-5, atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs_s),
+                    jax.tree_util.tree_leaves(bs_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-5, atol=3e-5)
+    _grads_close(g_s, g_f)
