@@ -34,6 +34,7 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv
     # small-channel 3x3 s1 stages (falls back to the staircase drop-in, then
     # stock nn.Conv, by toggle/eligibility)
     _eligible_channels,
+    chw_phase_merge,
     chw_phase_split,
     chw_to_nhwc,
     nhwc_to_chw,
@@ -194,6 +195,47 @@ class SNConv(nn.Module):
         if self.if_SN:
             return nn.SpectralNorm(conv)(x, update_stats=train)
         return conv(x)
+
+
+class ConvTranspose(nn.ConvTranspose):
+    """``nn.ConvTranspose`` drop-in with a CHW-lanes entry for the k2s2
+    'Conv2' upsample (image decoder, encoder_decoder.py:296-300).
+
+    A stride-2 kernel-2 transposed conv scatters each input pixel into a
+    disjoint 2x2 block: y[2r+a, 2c+b, o] = sum_i x[r, c, i] k[1-a, 1-b, i, o]
+    — i.e. four channel matmuls followed by a phase merge, which keeps the
+    activation in the (N, C, H*W) kernel layout (no NHWC round trip).
+    NAMED ``ConvTranspose`` so flax auto-naming keeps the parameter tree
+    identical to the stock path.
+    """
+
+    @nn.compact
+    def __call__(self, x, chw: Optional[tuple] = None):
+        if chw is None:
+            return super().__call__(x)
+        h, w_cols = chw
+        ks = self.kernel_size
+        ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
+        strides = self.strides or 1
+        strides = ((strides, strides) if isinstance(strides, int)
+                   else tuple(strides))
+        assert ks == (2, 2) and strides == (2, 2), (ks, strides)
+        assert x.ndim == 3 and x.shape[2] == h * w_cols, (x.shape, chw)
+        n, c_in, L = x.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (*ks, c_in, self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        # (N, a, b, C_out, L) with the flip baked in -> phase-major (N, 4*C_out, L)
+        yp = jnp.einsum("abio,nil->nabol", kernel[::-1, ::-1], x,
+                        preferred_element_type=jnp.float32)
+        yp = yp.reshape(n, 4 * self.features, L).astype(x.dtype)
+        y = chw_phase_merge(yp, h, w_cols)
+        if bias is not None:
+            y = y + bias[:, None].astype(y.dtype)
+        return y
 
 
 class ConvBlock(nn.Module):
@@ -439,6 +481,10 @@ class ResUp(nn.Module):
                 x = upsample_nearest_chw(x, hh, ww)
             elif self.up_type == "bilinear":
                 x = upsample_bilinear_chw(x, hh, ww)
+            elif self.up_type == "Conv2":
+                x = ConvTranspose(x.shape[1], (2, 2), strides=(2, 2),
+                                  kernel_init=conv_kernel_init,
+                                  dtype=self.dtype or x.dtype)(x, chw=chw)
             else:
                 raise NotImplementedError(
                     f"no CHW path for up_type {self.up_type!r}")
@@ -452,8 +498,8 @@ class ResUp(nn.Module):
         elif self.up_type == "bilinear":
             x = upsample_bilinear(x)
         elif self.up_type == "Conv2":
-            x = nn.ConvTranspose(in_ch, (2, 2), strides=(2, 2),
-                                 kernel_init=conv_kernel_init, dtype=dt)(x)
+            x = ConvTranspose(in_ch, (2, 2), strides=(2, 2),
+                              kernel_init=conv_kernel_init, dtype=dt)(x)
         elif self.up_type == "Conv4":
             # torch k4s2p1 doubles H/W; in flax that output size is 'SAME'.
             x = nn.ConvTranspose(in_ch, (4, 4), strides=(2, 2), padding="SAME",

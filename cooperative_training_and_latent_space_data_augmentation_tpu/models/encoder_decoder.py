@@ -135,7 +135,7 @@ class Decoder(nn.Module):
             c_in = xin.shape[1] if cur else xin.shape[-1]
             dims = hw if cur else (xin.shape[1], xin.shape[2])
             can = (pallas_s2_enabled()
-                   and self.up_type in ("NN", "bilinear")
+                   and self.up_type in ("NN", "bilinear", "Conv2")
                    and chw_chain_ok(c_in, feats))
             if can:
                 xc = xin if cur else nhwc_to_chw(xin)

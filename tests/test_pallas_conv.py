@@ -357,7 +357,8 @@ def _grads_close(g_ref, g_got, rtol=5e-4):
                                    rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("case", ["encoder", "decoder_nn", "decoder_bilinear"])
+@pytest.mark.parametrize("case", ["encoder", "decoder_nn", "decoder_bilinear",
+                                  "decoder_conv2"])
 def test_chw_stage_chaining_matches_stock(monkeypatch, np_rng, case):
     """Full Encoder/Decoder with CHW stage chaining + stride-2 phase kernel
     (PALLAS_CONV_INTERPRET + PALLAS_CONV_S2) vs the stock NHWC path: same
@@ -374,7 +375,8 @@ def test_chw_stage_chaining_matches_stock(monkeypatch, np_rng, case):
         module = Encoder(feature_reduce=4)
         inp = jnp.asarray(np_rng.rand(2, 32, 32, 1).astype(np.float32))
     else:
-        up = "NN" if case == "decoder_nn" else "bilinear"
+        up = {"decoder_nn": "NN", "decoder_bilinear": "bilinear",
+              "decoder_conv2": "Conv2"}[case]
         module = Decoder(output_channel=4, up_type=up)
         inp = jnp.asarray(np_rng.rand(2, 2, 2, 128).astype(np.float32))
 
