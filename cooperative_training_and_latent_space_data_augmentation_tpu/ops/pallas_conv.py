@@ -407,7 +407,8 @@ def _build_p_s2(xp, H2: int, W2: int, C_in: int):
     g = jax.lax.broadcasted_iota(jnp.int32, (1, L4), 1)
     parts = []
     for p, off, mask_top, mask_left in _s2_taps(W2):
-        block = jax.lax.dynamic_slice_in_dim(xp32, p * C_in, C_in, axis=0)
+        # static slice: Mosaic TC has no dynamic_slice lowering
+        block = xp32[p * C_in:(p + 1) * C_in]
         shifted = _roll_lanes(block, -off)
         valid = jnp.ones((1, L4), jnp.bool_)
         if mask_top:
@@ -473,7 +474,7 @@ def _dx_s2_kernel(dy_ref, w_ref, o_ref, *, H2: int, W2: int, C_in: int):
     g = jax.lax.broadcasted_iota(jnp.int32, (1, L4), 1)
     blocks = [jnp.zeros((C_in, L4), jnp.float32) for _ in range(4)]
     for t, (p, off, mask_top, mask_left) in enumerate(_s2_taps(W2)):
-        dpt = jax.lax.dynamic_slice_in_dim(dp, t * C_in, C_in, axis=0)
+        dpt = dp[t * C_in:(t + 1) * C_in]
         valid = jnp.ones((1, L4), jnp.bool_)
         if mask_top:
             valid = jnp.logical_and(valid, g >= W2)
@@ -663,8 +664,19 @@ def pallas_conv_enabled() -> bool:
 
 def pallas_s2_enabled() -> bool:
     """Trace-time switch for the stride-2 phase kernel + CHW stage chaining
-    (PALLAS_CONV_S2 env, default ON; set 0 for the A/B control)."""
-    return os.environ.get("PALLAS_CONV_S2", "1") == "1"
+    (PALLAS_CONV_S2 env).
+
+    Default OFF — a documented NEGATIVE result (like the staircase packing
+    in ops/fast_conv.py): measured end-to-end on v5e (bench.py A/B, batch
+    20 bf16, full cooperative step) the phase-kernel downsamples + cross-
+    stage CHW chaining run 93.3 ms/step vs 86.2 ms with only the stride-1
+    CHW-resident residual cores — an 8 % LOSS.  The phase split/merge
+    relayouts and the serial per-image dw accumulation cost more than the
+    removed boundary transposes save.  The kernels stay correct (exact vs
+    stock in tests/test_pallas_conv.py, Mosaic-lowerable per
+    tests/test_pallas_tpu_lowering.py) and opt-in for future re-measurement.
+    """
+    return os.environ.get("PALLAS_CONV_S2", "0") == "1"
 
 
 def pallas_interpret_forced() -> bool:
