@@ -397,11 +397,84 @@ class CooperativeTripletSolver:
             out["perturbed_shape"] = L.cross_entropy_2d(p_recon, label)
         return out
 
+    # ------------------------------------------------- fused STN pass batch
+    @staticmethod
+    def _merge_sequential_stats(base, stacked, update_flags):
+        """Fold P vmapped-pass running-stat emissions into the value that P
+        SEQUENTIAL passes would have produced.
+
+        Each vmapped pass starts from the same base running value ``r``, so
+        its emitted leaf is ``ups_p = m*r + (1-m)*batch_p`` — which means the
+        sequential fold ``r <- m*r + (1-m)*batch_p`` can be applied WITHOUT
+        reconstructing ``batch_p`` (no (1-m) division, no precision loss):
+        ``r_cur <- m*r_cur + (ups_p - m*r)``.  Passes with ``update_flags[p]
+        == False`` (BN-stat-frozen hard passes) are skipped entirely.
+        """
+
+        from cooperative_training_and_latent_space_data_augmentation_tpu.models.blocks import (
+            BN_MOMENTUM as m,
+        )
+
+        def leaf(r, ups):
+            r_cur = r
+            for p, upd in enumerate(update_flags):
+                if upd:
+                    r_cur = m * r_cur + (ups[p] - m * r)
+            return r_cur
+
+        if not any(update_flags):
+            return base
+        return jax.tree.map(leaf, base, stacked)
+
+    def _stn_passes_fused(self, params, stats, inputs, update_flags):
+        """Run P STN (shape encoder -> shape decoder) passes as ONE vmapped
+        application — the TPU restructuring of the reference's four
+        sequential ``recon_shape`` calls per iteration
+        (advanced...py:450-466 standard, :525-559 hard).
+
+        Exactness (pinned by tests/test_cooperative.py): ``jax.vmap`` maps
+        BatchNorm's batch reductions, so each pass normalizes with ITS OWN
+        batch statistics exactly like a sequential run; running stats never
+        feed train-mode normalization, so the only sequential coupling is
+        the running-stat update order, reconstructed in closed form by
+        :meth:`_merge_sequential_stats`.  The payoff: every conv in the STN
+        sees a P*N batch (one big MXU-friendly op) instead of P sequential
+        N-batches.
+
+        Args:
+          inputs: (P, N, H, W, C) stacked construct_input outputs.
+          update_flags: static per-pass bools, in the reference's sequential
+            order (True = this pass tracked BN stats).
+        Returns (recons (P, N, H, W, num_classes), new_stats).
+        """
+        enc = self.modules["shape_encoder"]
+        dec = self.modules["shape_decoder"]
+        v_enc = {"params": params["shape_encoder"],
+                 "batch_stats": stats["shape_encoder"]}
+        v_dec = {"params": params["shape_decoder"],
+                 "batch_stats": stats["shape_decoder"]}
+
+        def one(x):
+            z, e_ups = enc.apply(v_enc, x, train=True, mutable=["batch_stats"])
+            y, d_ups = dec.apply(v_dec, z, train=True, mutable=["batch_stats"])
+            return y, (e_ups["batch_stats"], d_ups["batch_stats"])
+
+        if self.remat:
+            one = jax.checkpoint(one)
+        recons, (e_stk, d_stk) = jax.vmap(one)(inputs)
+        new = dict(stats)
+        new["shape_encoder"] = self._merge_sequential_stats(
+            stats["shape_encoder"], e_stk, update_flags)
+        new["shape_decoder"] = self._merge_sequential_stats(
+            stats["shape_decoder"], d_stk, update_flags)
+        return recons, new
+
     # ----------------------------------------------------------- train step
     def make_train_step(self, latent_da: Optional[LatentDAConfig] = None,
                         separate_training: bool = False,
                         input_noise_std: float = 0.05,
-                        donate: bool = True):
+                        donate: bool = True,
+                        fused_stn: Optional[bool] = None):
         """Build the fused jitted cooperative train step.
 
         Collapses the reference's per-iteration sequence
@@ -412,6 +485,17 @@ class CooperativeTripletSolver:
         """
         use_latent_da = latent_da is not None and (
             latent_da.gen_corrupted_image or latent_da.gen_corrupted_seg)
+        if fused_stn is None:
+            # measured end-to-end WASH on the default Pallas-conv path
+            # (bench.py A/B: 86.2 ms sequential vs 86.6 ms fused — the CHW
+            # kernel already runs one full-size matmul per image, so a P*N
+            # batch only multiplies its grid); default off, kept as a
+            # pinned-exact opt-in for stock-XLA configs where batching the
+            # four STN passes can still improve conv tiling.
+            fused_stn = os.environ.get("FUSED_STN", "0") == "1"
+        # the fused path draws no per-pass dropout keys; dropout configs use
+        # the sequential reference path
+        fused_stn = fused_stn and not self.has_dropout
 
         def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
             clean_image = batch["image"]
@@ -422,7 +506,7 @@ class CooperativeTripletSolver:
                 k_noise, clean_image.shape, clean_image.dtype)
             noised_image = jnp.clip(clean_image + noise, 0.0, 1.0)
 
-            def loss_fn(params):
+            def loss_fn_sequential(params):
                 std, (z_i, z_s), stats = self.standard_training(
                     params, state.batch_stats, clean_image, label, noised_image,
                     separate_training=separate_training, compute_gt_recon=True,
@@ -462,6 +546,92 @@ class CooperativeTripletSolver:
                 total = standard_loss + hard_loss
                 metrics["loss/total"] = total
                 return total, (metrics, stats)
+
+            def loss_fn_fused(params):
+                """Same math as the sequential path, with all STN recon
+                passes (gt, pred, hard-pred, perturbed-seg) batched into ONE
+                vmapped application.  Legal reorder: every STN input exists
+                before any STN output is needed (outputs only feed loss
+                terms, which sum), and hard passes never write BN stats, so
+                running the STN after hard generation leaves all values and
+                the final stat state identical (the reference interleaves
+                them only textually, train...py:195-231)."""
+                stats0 = state.batch_stats
+                # --- standard FTN: encoder + seg decode + image decode
+                (z_i, z_s), y0, stats = self.fast_predict(
+                    params, stats0, noised_image, train=True, update=True)
+                std_seg = L.cross_entropy_2d(y0, label)
+                image_recon, stats = self.decode_image(params, stats, z_i,
+                                                       True, True)
+                std_image = 0.5 * jnp.mean((image_recon - clean_image) ** 2)
+
+                # --- hard generation + hard FTN (frozen stats)
+                perturbed_image = perturbed_seg = None
+                hard_seg = hard_image = jnp.zeros(())
+                if use_latent_da:
+                    perturbed_image, perturbed_seg = self.hard_example_generation(
+                        params, stats, z_i, z_s,
+                        jax.lax.stop_gradient(clean_image), label, k_da,
+                        latent_da)
+                if perturbed_image is not None:
+                    (zi_h, _), y0_h, _ = self.fast_predict(
+                        params, stats, jax.lax.stop_gradient(perturbed_image),
+                        train=True, update=False)
+                    hard_seg = L.cross_entropy_2d(y0_h, label)
+                    hard_recon, _ = self.decode_image(params, stats, zi_h,
+                                                      True, False)
+                    hard_image = 0.5 * jnp.mean((hard_recon - clean_image) ** 2)
+
+                # --- ALL STN passes, one vmapped batch (reference order)
+                def stn_in(logits):
+                    x = (jax.lax.stop_gradient(logits) if separate_training
+                         else logits)
+                    return construct_input(x, num_classes=self.num_classes,
+                                           apply_softmax=True,
+                                           temperature=self.temperature)
+
+                passes = [construct_input(label, num_classes=self.num_classes,
+                                          apply_softmax=False, is_labelmap=True),
+                          stn_in(y0)]
+                flags = [True, True]
+                if perturbed_image is not None:
+                    passes.append(stn_in(y0_h))
+                    flags.append(False)
+                if perturbed_seg is not None:
+                    passes.append(stn_in(jax.lax.stop_gradient(perturbed_seg)))
+                    flags.append(False)
+                recons, stats = self._stn_passes_fused(
+                    params, stats, jnp.stack(passes), tuple(flags))
+                stn_ce = [L.cross_entropy_2d(recons[p], label)
+                          for p in range(len(passes))]
+                std_gt_shape, std_shape = stn_ce[0], stn_ce[1]
+                nxt = 2
+                hard_shape = hard_perturbed = jnp.zeros(())
+                if perturbed_image is not None:
+                    hard_shape = stn_ce[nxt]
+                    nxt += 1
+                if perturbed_seg is not None:
+                    hard_perturbed = stn_ce[nxt]
+
+                standard_loss = std_seg + std_image + std_shape + std_gt_shape
+                hard_loss = hard_seg + hard_image + hard_shape + hard_perturbed
+                metrics = {
+                    "loss/standard/total": standard_loss,
+                    "loss/standard/seg": std_seg,
+                    "loss/standard/image": std_image,
+                    "loss/standard/shape": std_shape,
+                    "loss/standard/gt_shape": std_gt_shape,
+                    "loss/hard/total": (hard_loss if use_latent_da
+                                        else jnp.zeros(())),
+                    "loss/hard/seg": hard_seg,
+                    "loss/hard/image": hard_image,
+                    "loss/hard/shape": hard_shape + hard_perturbed,
+                }
+                total = standard_loss + hard_loss
+                metrics["loss/total"] = total
+                return total, (metrics, stats)
+
+            loss_fn = loss_fn_fused if fused_stn else loss_fn_sequential
 
             (_, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)

@@ -301,3 +301,60 @@ def test_dropout_masks_independent_per_forward():
     a2, b2 = jax.jit(two_decodes)(z)
     np.testing.assert_allclose(np.asarray(a), np.asarray(a2))
     np.testing.assert_allclose(np.asarray(b), np.asarray(b2))
+
+
+@pytest.mark.parametrize("latent_da", [None, LatentDAConfig()])
+@pytest.mark.parametrize("separate", [False, True])
+def test_fused_stn_step_matches_sequential(latent_da, separate):
+    """The vmapped STN pass batch (make_train_step(fused_stn=True)) must
+    reproduce the sequential reference path: same 9 loss scalars, same
+    GRADIENTS (probed linearly through one SGD step — Adam's
+    sign(g)-shaped first update flips on epsilon-level f32 reorder noise,
+    so post-Adam params cannot distinguish reorder from real deviation),
+    and — the sharp edge — same BN running stats (per-pass batch
+    statistics preserved under vmap + the closed-form sequential
+    running-stat fold)."""
+    import optax
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.train.cooperative import (
+        CooperativeTripletSolver as _Solver,
+    )
+
+    solver = _Solver(num_classes=4, image_ch=1, input_hw=(32, 32))
+    solver.tx = optax.sgd(1.0)  # params' = params - grads: linear grad probe
+    state0 = solver.init_state(jax.random.PRNGKey(3))
+    batch = _batch(n=4, seed=7)
+    outs = {}
+    for fused in (False, True):
+        step = solver.make_train_step(latent_da=latent_da, donate=False,
+                                      separate_training=separate,
+                                      fused_stn=fused)
+        st, metrics = step(state0, batch, jax.random.PRNGKey(11))
+        outs[fused] = (st, metrics)
+    st_s, m_s = outs[False]
+    st_f, m_f = outs[True]
+    for k in m_s:
+        np.testing.assert_allclose(float(m_f[k]), float(m_s[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    # params - params0 = -grads; compare grads to f32-reorder tolerance
+    g_s = jax.tree.map(lambda a, b: a - b, state0.params, st_s.params)
+    g_f = jax.tree.map(lambda a, b: a - b, state0.params, st_f.params)
+    # absolute floor proportional to the global gradient scale: losses are
+    # O(1) sums over thousands of f32 terms, so reduction reorder perturbs
+    # every gradient element by ~1e-7 absolute regardless of the element's
+    # own size; near-zero elements carry pure noise on both sides and must
+    # not be compared relatively (observed: 1.8e-7 diffs on 5e-8 elements
+    # while the global grad max is O(1e-1)).
+    gmax = max(float(np.max(np.abs(np.asarray(l)))) for l in jax.tree.leaves(g_s))
+    floor = 1e-5 * gmax + 1e-7
+    for (path, leaf_s), leaf_f in zip(
+            jax.tree_util.tree_flatten_with_path(g_s)[0],
+            jax.tree.leaves(g_f)):
+        scale = float(np.max(np.abs(np.asarray(leaf_s)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(leaf_f), np.asarray(leaf_s),
+                                   rtol=2e-3, atol=2e-4 * scale + floor,
+                                   err_msg=str(path))
+    for leaf_s, leaf_f in zip(jax.tree.leaves(st_s.batch_stats),
+                              jax.tree.leaves(st_f.batch_stats)):
+        np.testing.assert_allclose(np.asarray(leaf_f), np.asarray(leaf_s),
+                                   rtol=1e-5, atol=1e-6)
