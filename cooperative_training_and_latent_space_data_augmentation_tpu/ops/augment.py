@@ -42,6 +42,7 @@ distributionally equivalent away from edges and far cheaper on TPU.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field, replace
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -280,6 +281,78 @@ def warp_label(label_hw, ys, xs, num_classes: int, order: int = 3):
         hit = (scores[..., c - 1] >= 0.5) & valid
         result = jnp.where(hit, jnp.asarray(c, label_hw.dtype), result)
     return result
+
+
+def _fused_warp_enabled() -> bool:
+    """Trace-time switch for the fused single-gather image+label warp
+    (FUSED_WARP env, default ON; FUSED_WARP=0 for the two-gather control)."""
+    return os.environ.get("FUSED_WARP", "1") == "1"
+
+
+def warp_image_and_label(img_hwc, label_hw, ys, xs, num_classes: int):
+    """Fused order-3 image + per-class label warp sharing ONE gather.
+
+    XLA-TPU gathers pay per INDEX, and warp_image + warp_label each issue a
+    192^2-index (4,4,C) neighborhood gather at the same sample coordinates —
+    the dominant cost of the device augmentation pipeline.  This fuses both
+    into a single gather over a channel-concatenated coefficient array:
+
+    * label channels: exactly warp_label's scipy-'nearest' construction —
+      one-hot classes 1..C-1, edge-pad 12, mirror prefilter, 2-wide
+      'reflect' pad (ops/spline.py map_coordinates_cubic mode='nearest').
+    * image channel: warp_image's 'reflect' prefilter + 2-wide 'symmetric'
+      pad, embedded at offset +12 inside the label's padded frame so that
+      original tap t sits at padded row t+14 in BOTH stacks; in-domain
+      coordinates therefore share indices AND B-spline weights (the +12
+      integer shift preserves fractional parts, and reflect/mirror folds
+      are the identity inside the domain).  Rows the two boundary
+      extensions would disagree on are only fetched for out-of-domain
+      coordinates, and both outputs mask those to zero/background — pinned
+      bit-exact against the separate warps in tests/test_augment.py.
+
+    Returns (warped image HWC, warped label HW) at ys.shape resolution.
+    """
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.spline import (
+        _bspline_weights,
+        spline_coefficients,
+    )
+
+    h, w = label_hw.shape
+    pad = 12
+    onehot = jax.nn.one_hot(label_hw, num_classes, dtype=jnp.float32)[..., 1:]
+    lbl_ext = jnp.pad(onehot, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    lbl_cfp = jnp.pad(spline_coefficients(lbl_ext, "mirror"),
+                      ((2, 2), (2, 2), (0, 0)), mode="reflect")
+    img_cfp = jnp.pad(spline_coefficients(img_hwc, "reflect"),
+                      ((2, 2), (2, 2), (0, 0)), mode="symmetric")
+    img_big = jnp.pad(img_cfp, ((pad, pad), (pad, pad), (0, 0)))
+    big = jnp.concatenate([img_big.astype(jnp.float32), lbl_cfp], axis=-1)
+
+    hl, wl = h + 2 * pad, w + 2 * pad
+    yl = jnp.clip(ys + pad, 0.0, hl - 1.0)
+    xl = jnp.clip(xs + pad, 0.0, wl - 1.0)
+    y0 = jnp.floor(yl)
+    x0 = jnp.floor(xl)
+    wy = jnp.stack(_bspline_weights(yl - y0), axis=-1).reshape(-1, 4)
+    wx = jnp.stack(_bspline_weights(xl - x0), axis=-1).reshape(-1, 4)
+    idx = jnp.stack([y0.astype(jnp.int32).reshape(-1) + 1,
+                     x0.astype(jnp.int32).reshape(-1) + 1], axis=-1)
+    c = big.shape[-1]
+    dn = jax.lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
+                                        collapsed_slice_dims=(),
+                                        start_index_map=(0, 1))
+    g = jax.lax.gather(big, idx, dn, slice_sizes=(4, 4, c))
+    out = jnp.einsum("nabc,na,nb->nc", g, wy, wx).reshape(ys.shape + (c,))
+
+    valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    n_img = img_hwc.shape[-1]
+    img_out = jnp.where(valid[..., None], out[..., :n_img],
+                        0.0).astype(img_hwc.dtype)
+    result = jnp.zeros(ys.shape, label_hw.dtype)
+    for cc in range(1, num_classes):
+        hit = (out[..., n_img + cc - 1] >= 0.5) & valid
+        result = jnp.where(hit, jnp.asarray(cc, label_hw.dtype), result)
+    return img_out, result
 
 
 def _affine_inverse_matrix(key, policy: AugmentPolicy, h: int, w: int):
@@ -552,8 +625,11 @@ def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
             do = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
             ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
             xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
-        img = warp_image(img, ya, xa)
-        lbl = warp_label(lbl, ya, xa, num_classes)
+        if _fused_warp_enabled():
+            img, lbl = warp_image_and_label(img, lbl, ya, xa, num_classes)
+        else:
+            img = warp_image(img, ya, xa)
+            lbl = warp_label(lbl, ya, xa, num_classes)
     else:
         img = center_crop(img, crop_hw)
         lbl = center_crop(lbl, crop_hw)

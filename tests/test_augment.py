@@ -310,3 +310,29 @@ def test_crop_composed_warp_matches_full_grid_then_crop():
     np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got_lbl), np.asarray(want_lbl))
+
+
+def test_fused_warp_matches_separate_warps():
+    """warp_image_and_label (single shared gather, the FUSED_WARP default)
+    must reproduce warp_image + warp_label exactly — including coordinates
+    that leave the source frame, where both formulations mask to
+    zero/background despite fetching from differently-extended frames."""
+    img, lbl = _sample(hw=(96, 96), seed=3)
+    ys, xs = A._base_grid(80, 80)
+    # zoom + shift pushes part of the grid out of [0, 95]; smooth jitter
+    # exercises off-integer fractional weights
+    ys = ys * 1.35 - 12.0 + jnp.asarray(
+        np.random.RandomState(4).uniform(-5, 5, (80, 80)).astype(np.float32))
+    xs = xs * 1.25 - 8.0 + jnp.asarray(
+        np.random.RandomState(5).uniform(-5, 5, (80, 80)).astype(np.float32))
+    want_img = A.warp_image(img, ys, xs)
+    want_lbl = A.warp_label(lbl, ys, xs, 3)
+    got_img, got_lbl = A.warp_image_and_label(img, lbl, ys, xs, 3)
+    np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_lbl), np.asarray(want_lbl))
+    # out-of-frame samples exist and are masked in both outputs
+    outside = np.asarray((ys < 0) | (ys > 95) | (xs < 0) | (xs > 95))
+    assert outside.any()
+    assert (np.asarray(got_img)[outside] == 0).all()
+    assert (np.asarray(got_lbl)[outside] == 0).all()
