@@ -190,7 +190,7 @@ class CooperativeBatcher:
         epochs see identical batch orders."""
         return np.stack(list(self.sampler.epoch())).astype(np.int32)
 
-    def fused_epoch_runner(self, train_step_body):
+    def fused_epoch_runner(self, train_step_body, donate: bool = True):
         """ONE-dispatch epoch: lax.scan over (augment + train step) against
         the device-resident dataset.
 
@@ -208,10 +208,16 @@ class CooperativeBatcher:
 
         Returns ``run(state, img_all, lbl_all, idx_mat, batch_key,
         step_key) -> (state, next_step_key, stacked_metrics)``.
+
+        ``donate=False`` keeps the input state buffers alive (needed by the
+        driver's pipelined mode, which may still checkpoint/validate epoch
+        k's state after dispatching epoch k+1); the cost is one extra
+        state-sized buffer, negligible beside the cached dataset.
         """
         pipeline = getattr(self.pipeline_idx, "__wrapped__", self.pipeline_idx)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit,
+                           donate_argnums=(0,) if donate else ())
         def run(state, img_all, lbl_all, idx_mat, batch_key, step_key):
             def body(carry, idx):
                 st, bk, sk = carry

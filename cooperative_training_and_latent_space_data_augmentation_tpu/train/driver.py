@@ -62,10 +62,13 @@ def experiment_dirs(save_dir: str, dataset_name: str, data_setting: str,
     return log_dir, model_dir
 
 
-def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatcher,
-               predict_fn=None, n_iter: int = 2) -> Tuple[float, float, Optional[tuple]]:
-    """Validation with STN refinement; model selection on Mean IoU
-    (train...py:63-78)."""
+def eval_dispatch(solver: CooperativeTripletSolver, state,
+                  eval_batcher: EvalBatcher, predict_fn=None, n_iter: int = 2
+                  ) -> Tuple[RunningScore, Optional[tuple]]:
+    """Dispatch-only half of :func:`eval_model`: queues the predict passes
+    and on-device confusion-matrix updates WITHOUT forcing any value, so a
+    caller can overlap the (blocking) score fetch with later dispatches —
+    the driver's pipelined epoch mode relies on this."""
     running = RunningScore(solver.num_classes)
     if predict_fn is None:
         predict_fn = solver.make_predict(n_iter=n_iter)
@@ -77,6 +80,15 @@ def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatche
         # drop wrap-pad rows so tail samples are counted exactly once
         running.update(batch["label"][:real], pred_lbl[:real])
         last = (batch, pred_lbl)
+    return running, last
+
+
+def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatcher,
+               predict_fn=None, n_iter: int = 2) -> Tuple[float, float, Optional[tuple]]:
+    """Validation with STN refinement; model selection on Mean IoU
+    (train...py:63-78)."""
+    running, last = eval_dispatch(solver, state, eval_batcher,
+                                  predict_fn=predict_fn, n_iter=n_iter)
     score, _ = running.get_scores()
     return float(score["Mean IoU : \t"]), float(score["Mean Acc : \t"]), last
 
@@ -174,10 +186,27 @@ def train_network(experiment_name: str,
     fused_env = os.environ.get("FUSED_EPOCH", "")
     fused_ok = (fused_env == "1"
                 or (fused_env != "0" and jax.default_backend() == "tpu"))
+    # Pipelined consumption (fused path only, OPT-IN via PIPELINE_EPOCH=1):
+    # dispatch epoch k's validation AND epoch k+1's fused train scan BEFORE
+    # fetching epoch k's results.  Values, key schedules and model-selection
+    # decisions are identical to the serial path — only the fetch ORDER
+    # changes (each epoch is still consumed, in order, exactly once;
+    # equivalence pinned in tests/test_e2e.py).  MEASURED NEGATIVE RESULT
+    # on the tunneled (axon) backend: fetching results while the next epoch
+    # is in flight trips the tunnel's pipeline-break pathology — 12.1
+    # s/epoch pipelined vs 1.77 s serial at batch 20 (tfevents wall clock;
+    # the per-epoch scalars miss it because the blocking moves into the
+    # untimed dispatch calls).  Default is therefore the serial fetch; the
+    # pipelined path is kept for backends with sane async fetch semantics.
+    pipelined = os.environ.get("PIPELINE_EPOCH", "") == "1"
     fused_runner = None
     if fused_ok and mesh is None and getattr(batcher, "device_cache", False):
+        # pipelined mode must NOT donate the input state: epoch k's state is
+        # still read (validation dispatches, possible checkpoint fetch)
+        # after epoch k+1's dispatch consumes it as an argument
         fused_runner = batcher.fused_epoch_runner(
-            getattr(train_step, "__wrapped__", train_step))
+            getattr(train_step, "__wrapped__", train_step),
+            donate=not pipelined)
 
     logger = ScalarLogger(log_dir if log else None, purge_step=start_epoch)
     rng = jax.random.PRNGKey(seed + 1)
@@ -187,19 +216,80 @@ def train_network(experiment_name: str,
     last_epoch = start_epoch
     n_epochs = max_epochs if max_epochs is not None else learning.n_epochs
 
+    def _consume(i_epoch, state_e, metrics_obj, g_count, running, last_val,
+                 t_epoch0):
+        """Force + process one epoch's results: loss accounting, validation
+        scores, Mean-IoU model selection, best/periodic checkpoints
+        (train...py:195-269).  Epochs are always consumed in order, exactly
+        once — in pipelined mode this simply runs one epoch behind the
+        dispatches.  Returns (curr_score, consume_end_time)."""
+        nonlocal best_score
+        # metrics stay on device during the epoch (a float() per step would
+        # force a sync and stall the async dispatch pipeline); one
+        # device_get here value-forces every dispatched step (VERDICT r2 #3
+        # — honest epoch wall clock incl. host collation + device
+        # augmentation).
+        host = jax.device_get(metrics_obj)
+        if isinstance(host, dict):  # fused path: dict of (K,) arrays
+            host_metrics = [{k: host[k][i] for k in LOSS_KEYS}
+                            for i in range(g_count)]
+        else:
+            host_metrics = host
+        train_sec = time.monotonic() - t_epoch0
+        loss_acc = {k: float(sum(m[k] for m in host_metrics))
+                    for k in LOSS_KEYS}
+        total = loss_acc["loss/standard/total"] + loss_acc["loss/hard/total"]
+        print(f"{experiment_name} network: {solver.network_type} epoch "
+              f"{i_epoch} training loss iter: {g_count}, total loss: "
+              f"{total / g_count}, train_sec: {train_sec:.2f}")
+        for k in LOSS_KEYS:
+            logger.add_scalar(k, loss_acc[k] / g_count, i_epoch)
+        logger.add_scalar("time/train_epoch_sec", train_sec, i_epoch)
+
+        # ---- validation + model selection (train...py:249-262)
+        t_val0 = time.monotonic()
+        score, _ = running.get_scores()
+        curr_score = float(score["Mean IoU : \t"])
+        curr_acc = float(score["Mean Acc : \t"])
+        logger.add_scalar("time/val_epoch_sec",
+                          time.monotonic() - t_val0, i_epoch)
+        logger.add_scalar("iou/val_iou", curr_score, i_epoch)
+        logger.add_scalar("acc/val_acc", curr_acc, i_epoch)
+
+        def _dump_images(tag):
+            if last_val is None:
+                return
+            batch, pred_lbl = last_val
+            save_testing_images_results(
+                np.asarray(batch["image"])[:, :, :, 0],
+                np.asarray(batch["label"]), np.asarray(pred_lbl),
+                model_dir, tag, max_slices=5)
+
+        if curr_score > best_score:
+            best_score = curr_score
+            solver.save_model(state_e, model_dir, epoch_iter="best")
+            _dump_images("best")
+        if (i_epoch + 1) % cfg.output.save_epoch_every_num_epochs == 0 \
+                or i_epoch == 0:
+            solver.save_model(state_e, model_dir, epoch_iter=i_epoch)
+            _dump_images(i_epoch)
+            if use_orbax:
+                from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
+                    save_checkpoint,
+                )
+
+                save_checkpoint(orbax_dir, state_e, step=i_epoch)
+        return time.monotonic()
+
     try:
+        pending = None  # one in-flight epoch (pipelined fused mode only)
+        t_mark = time.monotonic()
         for i_epoch in range(start_epoch, n_epochs):
+            if stop_flag:
+                break
             last_epoch = i_epoch
-            # Epoch wall clock: honest on the tunneled backend because the
-            # device_get below value-forces every dispatched step (VERDICT r2
-            # #3 — epoch throughput incl. host collation + device
-            # augmentation; validation is timed separately).
-            t_epoch0 = time.monotonic()
-            # metrics stay on device during the epoch (a float() per step
-            # would force a sync and stall the async dispatch pipeline);
-            # one device_get at epoch end.
             rng, epoch_key = jax.random.split(rng)
-            if fused_runner is not None and not stop_flag:
+            if fused_runner is not None:
                 idx_mat = batcher.epoch_index_matrix()
                 # max_iteration cap, same semantics as the loop below: stop
                 # after the step that pushes i_iter past the cap
@@ -214,10 +304,15 @@ def train_network(experiment_name: str,
                 g_count = k_allow
                 i_iter += k_allow
                 stop_flag = i_iter > learning.max_iteration
-                host = jax.device_get(stacked)  # dict of (K,) arrays
-                host_metrics = [
-                    {k: host[k][i] for k in LOSS_KEYS}
-                    for i in range(k_allow)]
+                running, last_val = eval_dispatch(
+                    solver, state, eval_batcher, predict_fn=predict_fn)
+                entry = (i_epoch, state, stacked, g_count, running, last_val)
+                if pipelined:
+                    if pending is not None:
+                        t_mark = _consume(*pending, t_mark)
+                    pending = entry
+                else:
+                    t_mark = _consume(*entry, t_mark)
             else:
                 step_metrics = []
                 g_count = 0
@@ -233,52 +328,12 @@ def train_network(experiment_name: str,
                         stop_flag = True
                 if g_count == 0:
                     break
-                host_metrics = jax.device_get(step_metrics)
-            train_sec = time.monotonic() - t_epoch0
-            loss_acc = {k: float(sum(m[k] for m in host_metrics))
-                        for k in LOSS_KEYS}
-            total = loss_acc["loss/standard/total"] + loss_acc["loss/hard/total"]
-            print(f"{experiment_name} network: {solver.network_type} epoch "
-                  f"{i_epoch} training loss iter: {g_count}, total loss: "
-                  f"{total / g_count}, train_sec: {train_sec:.2f}")
-            for k in LOSS_KEYS:
-                logger.add_scalar(k, loss_acc[k] / g_count, i_epoch)
-            logger.add_scalar("time/train_epoch_sec", train_sec, i_epoch)
-
-            # ---- validation + model selection (train...py:249-262)
-            t_val0 = time.monotonic()
-            curr_score, curr_acc, last_val = eval_model(
-                solver, state, eval_batcher, predict_fn=predict_fn)
-            logger.add_scalar("time/val_epoch_sec",
-                              time.monotonic() - t_val0, i_epoch)
-            logger.add_scalar("iou/val_iou", curr_score, i_epoch)
-            logger.add_scalar("acc/val_acc", curr_acc, i_epoch)
-
-            def _dump_images(tag):
-                if last_val is None:
-                    return
-                batch, pred_lbl = last_val
-                save_testing_images_results(
-                    np.asarray(batch["image"])[:, :, :, 0],
-                    np.asarray(batch["label"]), np.asarray(pred_lbl),
-                    model_dir, tag, max_slices=5)
-
-            if curr_score > best_score:
-                best_score = curr_score
-                solver.save_model(state, model_dir, epoch_iter="best")
-                _dump_images("best")
-            if (i_epoch + 1) % cfg.output.save_epoch_every_num_epochs == 0 \
-                    or i_epoch == 0:
-                solver.save_model(state, model_dir, epoch_iter=i_epoch)
-                _dump_images(i_epoch)
-                if use_orbax:
-                    from cooperative_training_and_latent_space_data_augmentation_tpu.utils.checkpoint import (
-                        save_checkpoint,
-                    )
-
-                    save_checkpoint(orbax_dir, state, step=i_epoch)
-            if stop_flag:
-                break
+                running, last_val = eval_dispatch(
+                    solver, state, eval_batcher, predict_fn=predict_fn)
+                t_mark = _consume(i_epoch, state, step_metrics, g_count,
+                                  running, last_val, t_mark)
+        if pending is not None:
+            _consume(*pending, t_mark)
         if log and log_dir:
             logger.export_scalars_to_json(join(log_dir, experiment_name + ".json"))
     except KeyboardInterrupt:

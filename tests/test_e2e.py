@@ -136,3 +136,49 @@ def test_training_loop_fused_epoch_path(tmp_path, monkeypatch):
         if r["tag"] == "loss/standard/total":
             per_epoch[r["step"]] = r["value"]
     assert set(per_epoch) == {0, 1}
+
+
+@pytest.mark.slow
+def test_fused_pipelined_matches_serial_consume(tmp_path, monkeypatch):
+    """PIPELINE_EPOCH (dispatch epoch k+1 + val k before fetching epoch k's
+    results) must be a pure fetch-reorder: per-epoch loss scalars, val IoU,
+    and the final params must be identical to the serial consume path."""
+    import json
+
+    def run(tag, pipeline_env):
+        monkeypatch.setenv("FUSED_EPOCH", "1")
+        monkeypatch.setenv("PIPELINE_EPOCH", pipeline_env)
+        cfg = ExperimentConfig.from_dict({
+            "name": tag,
+            "data": {"pad_size": [64, 64, 1], "crop_size": [48, 48, 1],
+                     "data_aug_policy": "ACDC_affine",
+                     "keep_orig_image_label_pair_for_training": True,
+                     "num_classes": 4},
+            "learning": {"latent_DA": True, "batch_size": 4, "n_epochs": 3,
+                         "max_iteration": 50000, "lr": 1e-3},
+            "output": {"save_epoch_every_num_epochs": 10},
+        })
+        train_set = SyntheticSegDataset(length=8, pad_size=(64, 64), seed=0)
+        val_set = SyntheticSegDataset(length=4, pad_size=(64, 64), seed=1)
+        solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                          input_hw=(48, 48),
+                                          learning_rate=cfg.learning.lr)
+        log_dir, model_dir = experiment_dirs(
+            str(tmp_path), "synthetic", "smoke", 4, tag, 0)
+        state, best, last_epoch = train_network(
+            tag, train_set, val_set, solver, cfg, model_dir=model_dir,
+            log_dir=log_dir, log=True, seed=0, use_orbax=False)
+        with open(os.path.join(log_dir, "scalars.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        scalars = {(r["tag"], r["step"]): r["value"] for r in rows
+                   if not r["tag"].startswith("time/")}
+        return state, best, last_epoch, scalars
+
+    state_p, best_p, last_p, scal_p = run("pipe", "1")
+    state_s, best_s, last_s, scal_s = run("serial", "0")
+    assert last_p == last_s
+    assert best_p == best_s
+    assert scal_p == scal_s
+    for a, b in zip(jax.tree_util.tree_leaves(state_p.params),
+                    jax.tree_util.tree_leaves(state_s.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
