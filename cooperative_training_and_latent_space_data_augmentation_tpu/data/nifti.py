@@ -30,6 +30,8 @@ _NIFTI_DTYPES = {
     256: np.int8,
     512: np.uint16,
     768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
 }
 _NIFTI_CODES = {np.dtype(v): k for k, v in _NIFTI_DTYPES.items()}
 
@@ -44,41 +46,156 @@ def _maybe_gzip_read(path: str) -> bytes:
         return f.read()
 
 
+def _sform_qform_spacing(e: str, buf: bytes, pixdim) -> Tuple[float, ...]:
+    """Voxel spacing with the NIfTI method-priority fallback chain: when
+    ``sform_code > 0`` the spacing is the column norms of the srow affine
+    (pixdim may be stale/zero in such files); ``qform_code > 0`` or neither
+    falls back to pixdim (the qform quaternion is a pure rotation, so its
+    spacing IS pixdim).  Zero/negative entries fall back to 1.0 so a sloppy
+    header can never produce a zero spacing downstream."""
+    sform_code = struct.unpack(e + "h", buf[254:256])[0]
+    spacing = [float(p) for p in pixdim[1:4]]
+    if sform_code > 0:
+        srow = struct.unpack(e + "12f", buf[280:328])  # srow_x, srow_y, srow_z
+        m = np.asarray(srow, np.float64).reshape(3, 4)[:, :3]
+        norms = np.sqrt((m * m).sum(axis=0))           # column j = voxel axis j
+        if np.all(np.isfinite(norms)) and np.all(norms > 0):
+            spacing = [float(n) for n in norms]
+    return tuple(s if np.isfinite(s) and s > 0 else 1.0 for s in spacing)
+
+
+def _nifti_data_buffer(path: str, buf: bytes, magic: bytes) -> Tuple[bytes, bool]:
+    """Resolve the voxel buffer for single-file ('n+1') vs header/image-pair
+    ('ni1') layouts.  Returns (buffer holding voxels, offset_is_in_buffer)."""
+    if magic[:3] == b"ni1":
+        # two-file NIfTI: voxels live in a sibling .img (vox_offset applies
+        # to the .img stream and is typically 0)
+        base = path[:-3] if path.endswith(".gz") else path
+        root, _ = os.path.splitext(base)
+        for cand in (root + ".img", root + ".img.gz"):
+            if os.path.exists(cand):
+                return _maybe_gzip_read(cand), False
+        raise FileNotFoundError(
+            f"{path}: header-only NIfTI ('ni1' magic) but no sibling "
+            f"{root}.img[.gz] found")
+    return buf, True
+
+
 def read_nifti(path: str) -> Tuple[np.ndarray, Tuple[float, ...]]:
-    """Read a NIfTI-1 volume.  Returns (array in (z, y, x) C-order,
-    spacing (sx, sy, sz) in ITK convention: x fastest)."""
+    """Read a NIfTI-1/NIfTI-2 volume (single-file or .hdr/.img pair, raw or
+    gzipped, either byte order).  Returns (array in (z, y, x) C-order,
+    spacing (sx, sy, sz) in ITK convention: x fastest).
+
+    Header handling hardened for real-world ACDC/M&Ms files
+    (basic_operations.py:337-365 reads these through SimpleITK):
+    scl_slope/scl_inter rescaling (NaN slope treated as 1), sform-affine
+    spacing with pixdim fallback, byte-swapped (big-endian) headers, 4-D
+    volumes (first timepoint), and clear errors for anything else.
+    """
     buf = _maybe_gzip_read(path)
     if len(buf) < 348:
-        raise ValueError(f"{path}: too short for a NIfTI-1 header")
+        raise ValueError(f"{path}: too short ({len(buf)} B) for a NIfTI header")
     sizeof_hdr = struct.unpack("<i", buf[0:4])[0]
+    endian = "<"
+    if sizeof_hdr == 540 or struct.unpack(">i", buf[0:4])[0] == 540:
+        return _read_nifti2(path, buf)
     if sizeof_hdr != 348:
-        raise ValueError(f"{path}: bad sizeof_hdr {sizeof_hdr}")
-    dim = struct.unpack("<8h", buf[40:56])
+        if struct.unpack(">i", buf[0:4])[0] == 348:
+            endian = ">"
+        else:
+            raise ValueError(
+                f"{path}: bad sizeof_hdr {sizeof_hdr} — not a NIfTI-1 "
+                f"(348) or NIfTI-2 (540) header")
+    e = endian
+    dim = struct.unpack(e + "8h", buf[40:56])
     ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: implausible dim[0]={ndim} "
+                         f"(byte-order detection failed?)")
     shape_xyz = [max(1, d) for d in dim[1:1 + max(ndim, 3)]]
-    datatype = struct.unpack("<h", buf[70:72])[0]
-    bitpix = struct.unpack("<h", buf[72:74])[0]
-    pixdim = struct.unpack("<8f", buf[76:108])
-    vox_offset = struct.unpack("<f", buf[108:112])[0]
-    scl_slope = struct.unpack("<f", buf[112:116])[0]
-    scl_inter = struct.unpack("<f", buf[116:120])[0]
+    datatype = struct.unpack(e + "h", buf[70:72])[0]
+    pixdim = struct.unpack(e + "8f", buf[76:108])
+    vox_offset = struct.unpack(e + "f", buf[108:112])[0]
+    scl_slope = struct.unpack(e + "f", buf[112:116])[0]
+    scl_inter = struct.unpack(e + "f", buf[116:120])[0]
+    magic = buf[344:348]
     if datatype not in _NIFTI_DTYPES:
-        raise NotImplementedError(f"{path}: NIfTI datatype {datatype}")
-    dtype = np.dtype(_NIFTI_DTYPES[datatype]).newbyteorder("<")
+        raise NotImplementedError(
+            f"{path}: NIfTI datatype code {datatype} not supported "
+            f"(supported: {sorted(_NIFTI_DTYPES)})")
+    dtype = np.dtype(_NIFTI_DTYPES[datatype]).newbyteorder(e)
+    data_buf, offset_in_hdr = _nifti_data_buffer(path, buf, magic)
     n_vox = int(np.prod(shape_xyz))
-    start = int(vox_offset) if vox_offset else 352
-    data = np.frombuffer(buf, dtype=dtype, count=n_vox, offset=start)
+    if offset_in_hdr:
+        start = int(vox_offset) if vox_offset >= 348 else 352
+    else:
+        start = int(vox_offset) if vox_offset > 0 else 0
+    need = start + n_vox * dtype.itemsize
+    if len(data_buf) < need:
+        raise ValueError(
+            f"{path}: truncated voxel data — header promises "
+            f"{n_vox}x{dtype.itemsize} B at offset {start} "
+            f"({need} B total) but only {len(data_buf)} B present")
+    data = np.frombuffer(data_buf, dtype=dtype, count=n_vox, offset=start)
+    return _finish_nifti(data, shape_xyz, scl_slope, scl_inter,
+                         _sform_qform_spacing(e, buf, pixdim))
+
+
+def _finish_nifti(data: np.ndarray, shape_xyz, scl_slope: float,
+                  scl_inter: float, spacing) -> Tuple[np.ndarray, Tuple[float, ...]]:
     # NIfTI data is Fortran-ordered over (x, y, z, ...)
     arr = data.reshape(shape_xyz, order="F")
     if arr.ndim > 3:
-        arr = arr.reshape(shape_xyz[:3] + [-1], order="F")[..., 0]
+        arr = arr.reshape(list(shape_xyz[:3]) + [-1], order="F")[..., 0]
     # (x, y, z) -> (z, y, x)
     arr = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)))
+    if not np.isfinite(scl_slope):
+        scl_slope = 1.0  # NaN slope: per spec, "no scaling stored"
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         arr = arr.astype(np.float32) * slope + scl_inter
-    spacing = tuple(float(p) for p in pixdim[1:4])
     return arr, spacing
+
+
+def _read_nifti2(path: str, buf: bytes) -> Tuple[np.ndarray, Tuple[float, ...]]:
+    """NIfTI-2 (sizeof_hdr 540): same fields at 64-bit offsets."""
+    e = "<" if struct.unpack("<i", buf[0:4])[0] == 540 else ">"
+    if len(buf) < 540:
+        raise ValueError(f"{path}: too short for a NIfTI-2 header")
+    datatype = struct.unpack(e + "h", buf[12:14])[0]
+    dim = struct.unpack(e + "8q", buf[16:80])
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: implausible NIfTI-2 dim[0]={ndim}")
+    shape_xyz = [max(1, int(d)) for d in dim[1:1 + max(ndim, 3)]]
+    pixdim = struct.unpack(e + "8d", buf[104:168])
+    vox_offset = struct.unpack(e + "q", buf[168:176])[0]
+    scl_slope = struct.unpack(e + "d", buf[176:184])[0]
+    scl_inter = struct.unpack(e + "d", buf[184:192])[0]
+    sform_code = struct.unpack(e + "i", buf[348:352])[0]
+    spacing = [float(p) for p in pixdim[1:4]]
+    if sform_code > 0:
+        srow = struct.unpack(e + "12d", buf[400:496])
+        m = np.asarray(srow, np.float64).reshape(3, 4)[:, :3]
+        norms = np.sqrt((m * m).sum(axis=0))
+        if np.all(np.isfinite(norms)) and np.all(norms > 0):
+            spacing = [float(n) for n in norms]
+    spacing = tuple(s if np.isfinite(s) and s > 0 else 1.0 for s in spacing)
+    if datatype not in _NIFTI_DTYPES:
+        raise NotImplementedError(
+            f"{path}: NIfTI datatype code {datatype} not supported")
+    dtype = np.dtype(_NIFTI_DTYPES[datatype]).newbyteorder(e)
+    n_vox = int(np.prod(shape_xyz))
+    start = int(vox_offset) if vox_offset >= 540 else 544
+    need = start + n_vox * dtype.itemsize
+    if len(buf) < need:
+        raise ValueError(f"{path}: truncated NIfTI-2 voxel data "
+                         f"({need} B needed, {len(buf)} B present)")
+    data = np.frombuffer(buf, dtype=dtype, count=n_vox, offset=start)
+    return _finish_nifti(data, shape_xyz, float(scl_slope), float(scl_inter),
+                         spacing)
 
 
 def write_nifti(path: str, array_zyx: np.ndarray,

@@ -93,6 +93,19 @@ def eval_model(solver: CooperativeTripletSolver, state, eval_batcher: EvalBatche
     return float(score["Mean IoU : \t"]), float(score["Mean Acc : \t"]), last
 
 
+def _flush_pending(pending, consume_fn, t_mark) -> None:
+    """Crash-path flush of the one in-flight epoch (pipelined fused mode):
+    without it, an exception raised while dispatching epoch k+1 would lose
+    epoch k's scalars and a would-be 'best' checkpoint.  Best-effort — a
+    failure here must not mask the original exception."""
+    if pending is None:
+        return
+    try:
+        consume_fn(*pending, t_mark)
+    except Exception as flush_err:  # noqa: BLE001
+        print(f"warning: could not flush pending epoch results: {flush_err}")
+
+
 def train_network(experiment_name: str,
                   train_set, validate_set,
                   solver: CooperativeTripletSolver,
@@ -217,12 +230,19 @@ def train_network(experiment_name: str,
     n_epochs = max_epochs if max_epochs is not None else learning.n_epochs
 
     def _consume(i_epoch, state_e, metrics_obj, g_count, running, last_val,
-                 t_epoch0):
+                 eval_dispatch_sec, t_epoch0):
         """Force + process one epoch's results: loss accounting, validation
         scores, Mean-IoU model selection, best/periodic checkpoints
         (train...py:195-269).  Epochs are always consumed in order, exactly
         once — in pipelined mode this simply runs one epoch behind the
-        dispatches.  Returns (curr_score, consume_end_time)."""
+        dispatches.  Returns the consume-end monotonic time (the next
+        epoch's wall-clock mark).
+
+        Scalar semantics: ``time/val_epoch_sec`` = eval batch collation +
+        predict dispatch (``eval_dispatch_sec``, measured at the call site)
+        + the blocking score fetch here; ``time/train_epoch_sec`` = all
+        remaining epoch wall clock, which on async backends includes the
+        dispatched-but-unforced train compute."""
         nonlocal best_score
         # metrics stay on device during the epoch (a float() per step would
         # force a sync and stall the async dispatch pipeline); one
@@ -252,7 +272,8 @@ def train_network(experiment_name: str,
         curr_score = float(score["Mean IoU : \t"])
         curr_acc = float(score["Mean Acc : \t"])
         logger.add_scalar("time/val_epoch_sec",
-                          time.monotonic() - t_val0, i_epoch)
+                          eval_dispatch_sec + time.monotonic() - t_val0,
+                          i_epoch)
         logger.add_scalar("iou/val_iou", curr_score, i_epoch)
         logger.add_scalar("acc/val_acc", curr_acc, i_epoch)
 
@@ -304,9 +325,11 @@ def train_network(experiment_name: str,
                 g_count = k_allow
                 i_iter += k_allow
                 stop_flag = i_iter > learning.max_iteration
+                t_ev0 = time.monotonic()
                 running, last_val = eval_dispatch(
                     solver, state, eval_batcher, predict_fn=predict_fn)
-                entry = (i_epoch, state, stacked, g_count, running, last_val)
+                entry = (i_epoch, state, stacked, g_count, running, last_val,
+                         time.monotonic() - t_ev0)
                 if pipelined:
                     if pending is not None:
                         t_mark = _consume(*pending, t_mark)
@@ -328,20 +351,25 @@ def train_network(experiment_name: str,
                         stop_flag = True
                 if g_count == 0:
                     break
+                t_ev0 = time.monotonic()
                 running, last_val = eval_dispatch(
                     solver, state, eval_batcher, predict_fn=predict_fn)
                 t_mark = _consume(i_epoch, state, step_metrics, g_count,
-                                  running, last_val, t_mark)
+                                  running, last_val,
+                                  time.monotonic() - t_ev0, t_mark)
         if pending is not None:
             _consume(*pending, t_mark)
+            pending = None
         if log and log_dir:
             logger.export_scalars_to_json(join(log_dir, experiment_name + ".json"))
     except KeyboardInterrupt:
         print(f"interrupted at epoch {last_epoch}; saving snapshot")
+        _flush_pending(pending, _consume, t_mark)
         solver.save_snapshots(state, model_dir, epoch=last_epoch)
         raise
     except Exception as e:
         print(f"catch exception at epoch {last_epoch}. error: {e}")
+        _flush_pending(pending, _consume, t_mark)
         if last_epoch > 0:
             solver.save_snapshots(state, model_dir, epoch=last_epoch)
         raise

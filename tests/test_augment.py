@@ -313,9 +313,11 @@ def test_crop_composed_warp_matches_full_grid_then_crop():
     np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
                                rtol=1e-4, atol=1e-5)
     # labels: identical except possibly at exact score ties perturbed by
-    # the reorder noise — allow <0.5% of pixels to differ
+    # the reorder noise.  Measured deviation is ZERO flipped labels (ADVICE
+    # r3); the budget is ~6 px on an 80x80 grid so a real gather/indexing
+    # regression cannot hide inside it.
     mismatch = np.mean(np.asarray(got_lbl) != np.asarray(want_lbl))
-    assert mismatch < 5e-3, f"label mismatch fraction {mismatch}"
+    assert mismatch < 1e-3, f"label mismatch fraction {mismatch}"
 
 
 def test_fused_warp_matches_separate_warps():
@@ -339,9 +341,9 @@ def test_fused_warp_matches_separate_warps():
     # accumulation order differs from the separate warps at the float32
     # reorder level (~5e-6 abs)
     np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
-                               rtol=1e-3, atol=1e-5)
+                               rtol=1e-4, atol=1e-5)
     mismatch = np.mean(np.asarray(got_lbl) != np.asarray(want_lbl))
-    assert mismatch < 5e-3, f"label mismatch fraction {mismatch}"
+    assert mismatch < 1e-3, f"label mismatch fraction {mismatch}"
     # out-of-frame samples exist and are masked in both outputs
     outside = np.asarray((ys < 0) | (ys > 95) | (xs < 0) | (xs > 95))
     assert outside.any()
