@@ -213,13 +213,17 @@ def train_network(experiment_name: str,
     # pipelined path is kept for backends with sane async fetch semantics.
     pipelined = os.environ.get("PIPELINE_EPOCH", "") == "1"
     fused_runner = None
-    if fused_ok and mesh is None and getattr(batcher, "device_cache", False):
+    # sharded fused epoch (VERDICT r3 #2) needs the raw batch to divide over
+    # the mesh; otherwise fall back to the streaming sharded loop
+    fused_divisible = (mesh is None
+                       or batcher.raw_bs % int(np.prod(mesh.devices.shape)) == 0)
+    if fused_ok and fused_divisible and getattr(batcher, "device_cache", False):
         # pipelined mode must NOT donate the input state: epoch k's state is
         # still read (validation dispatches, possible checkpoint fetch)
         # after epoch k+1's dispatch consumes it as an argument
         fused_runner = batcher.fused_epoch_runner(
             getattr(train_step, "__wrapped__", train_step),
-            donate=not pipelined)
+            donate=not pipelined, mesh=mesh)
 
     logger = ScalarLogger(log_dir if log else None, purge_step=start_epoch)
     rng = jax.random.PRNGKey(seed + 1)

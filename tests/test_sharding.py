@@ -209,3 +209,62 @@ def test_orbax_restore_across_topology(tmp_path):
     out_state, metrics = sharded(restored, shard_batch(mesh, batch),
                                  replicate(mesh, jax.random.PRNGKey(3)))
     assert np.isfinite(float(metrics["loss/standard/total"]))
+
+
+@pytest.mark.slow
+def test_fused_epoch_sharded_matches_streaming(tmp_path):
+    """Sharded fused-epoch scan (VERDICT r3 #2): the whole epoch — per-batch
+    gather + device augmentation + train step x K — scanned in ONE jitted
+    dispatch over the 8-device mesh must reproduce the single-device
+    streaming trajectory (same sampler stream, same key schedule), with the
+    gradient psum inserted by the partitioner."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.loader import (
+        CooperativeBatcher,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+
+    ds = SyntheticSegDataset(length=16, pad_size=(40, 40), num_classes=4,
+                             seed=0)
+    kw = dict(batch_size=16, pad_hw=(40, 40), crop_hw=(32, 32),
+              policy_name="ACDC_affine_elastic_intensity", keep_orig=True,
+              seed=21, device_cache=True)
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                      input_hw=(32, 32))
+    state0 = solver.init_state(jax.random.PRNGKey(0))
+    step = solver.make_train_step(latent_da=None, donate=False)
+
+    # single-device streaming reference trajectory
+    b1 = CooperativeBatcher(ds, **kw)
+    rng = jax.random.PRNGKey(3)
+    rng, epoch_key = jax.random.split(rng)
+    state_s = state0
+    stream_losses = []
+    for batch in b1.epoch(epoch_key):
+        rng, step_key = jax.random.split(rng)
+        state_s, m = step(state_s, batch, step_key)
+        stream_losses.append(float(m["loss/standard/total"]))
+    assert len(stream_losses) == 2  # 16 raw / (16//2 with keep_orig)
+
+    # sharded fused epoch over the mesh, same sampler seed + keys
+    mesh = make_mesh()
+    b2 = CooperativeBatcher(ds, sharding=batch_sharding(mesh), **kw)
+    runner = b2.fused_epoch_runner(step.__wrapped__, donate=False, mesh=mesh)
+    rng2 = jax.random.PRNGKey(3)
+    rng2, epoch_key2 = jax.random.split(rng2)
+    idx = b2.epoch_index_matrix()
+    img_all, lbl_all = b2._device_dataset()
+    state_f, rng_out, stacked = runner(
+        replicate(mesh, state0), img_all, lbl_all, idx, epoch_key2, rng2)
+    np.testing.assert_array_equal(np.asarray(rng_out), np.asarray(rng))
+    # batch-sharded BN/loss reductions reassociate across shards; Adam
+    # amplifies the ~1e-8 gradient wiggle to O(lr) on params (same bands as
+    # test_sharded_cooperative_train_step / the fused-vs-streaming test)
+    np.testing.assert_allclose(
+        np.asarray(stacked["loss/standard/total"]),
+        np.asarray(stream_losses), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(state_f.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)
