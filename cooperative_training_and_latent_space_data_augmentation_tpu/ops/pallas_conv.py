@@ -627,6 +627,286 @@ def _conv_s2_ad_bwd(H, W, interpret, res, dy):
 conv3x3s2_phase_ad.defvjp(_conv_s2_ad_fwd, _conv_s2_ad_bwd)
 
 
+# ------------------- NL-sublanes kernel (large-channel stages) -------------------
+#
+# The CHW-lanes kernel above wins for <=64-channel stages but LOSES at 128
+# channels (stock XLA tiles those fine; measured, RESULTS.md round 3).  The
+# remaining stock stages — the two deepest encoder stages, the code
+# decoupler and the decoder bottoms (channel plan
+# medseg/models/ebm/encoder_decoder.py:351-453) — run 128-channel convs at
+# 12x12/24x24 spatial, where HW-on-lanes starves the MXU.  This second
+# tiling flips the layout: CHANNELS on lanes (128 = exactly one lane tile)
+# and the flattened batch*pixels on sublanes — i.e. the native NHWC layout,
+# so entering/leaving the kernel costs a free reshape, no transposes.
+#
+#   * X lives as (N*H*W, C); tap shifts are SUBLANE rolls (f32 staging, same
+#     Mosaic constraint as the lane rolls above).
+#   * P stacks the 9 tap copies on lanes: (M, 9*C_in) with M = chunk*H*W
+#     images per grid step; one (M, 9*C_in) @ (9*C_in, C_out) MXU matmul
+#     per chunk — M in the thousands, K = 9*C_in >= 576, N_dim = C_out >=
+#     64 all fill the systolic array.
+#   * Per-image SAME-padding masks use the image-local pixel index
+#     p = sublane_index mod (H*W); the same conditions that zero a tap at
+#     an image edge also kill every cross-image contribution a roll could
+#     drag in (a masked-valid p always has 0 <= p+off < H*W).
+#
+# dx is this same kernel with flipped/transposed weights; dw accumulates
+# P_chunk^T @ dY_chunk over the chunk grid.
+
+
+# Max flattened rows per grid step: P is M x 9*C_in; at C_in=128 and f32
+# staging this caps the tap matrix at ~21 MB — comfortably VMEM-resident.
+_NL_MAX_M = 4608
+
+
+def _nl_chunk(n: int, L: int) -> int:
+    """Largest divisor of n whose chunk*L fits the VMEM row budget."""
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d * L <= _NL_MAX_M:
+            best = d
+    return best
+
+
+def _build_p_nl(x, H: int, W: int):
+    """Tap matrix P (M, 9*C_in) from x (M, C_in), M = chunk*H*W flattened
+    batch-major.  Sublane rolls in f32 (Mosaic rotate is 32-bit only),
+    SAME-padding edge masks on the image-local pixel index."""
+    M = x.shape[0]
+    L = H * W
+    x32 = x.astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % L
+    parts = []
+    for t, off in enumerate(_tap_offsets(W)):
+        ki, kj = divmod(t, 3)
+        if off % M == 0:
+            shifted = x32
+        else:
+            shifted = pltpu.roll(x32, (-off) % M, 0)
+        valid = jnp.ones((M, 1), jnp.bool_)
+        if ki == 0:
+            valid = jnp.logical_and(valid, p >= W)
+        elif ki == 2:
+            valid = jnp.logical_and(valid, p < (H - 1) * W)
+        if kj == 0:
+            valid = jnp.logical_and(valid, (p % W) != 0)
+        elif kj == 2:
+            valid = jnp.logical_and(valid, (p % W) != W - 1)
+        parts.append(jnp.where(valid, shifted, 0.0).astype(x.dtype))
+    return jnp.concatenate(parts, axis=1)                 # (M, 9*C_in)
+
+
+def _conv_nl_kernel(x_ref, w_ref, o_ref, *, H: int, W: int):
+    """One chunk: x_ref (M, C_in), w_ref (9*C_in, C_out), o_ref (M, C_out)."""
+    p = _build_p_nl(x_ref[...], H, W)
+    acc = jax.lax.dot_general(
+        p, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (M, C_out)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_nl(x: jnp.ndarray, w: jnp.ndarray, *, interpret: bool = False):
+    """SAME stride-1 3x3 conv in NL-sublanes layout (channels on lanes).
+
+    Args:
+      x: (N, H, W, C_in) NHWC activations — the kernel layout IS the
+         flattened NHWC view, so no transposes happen at the boundary.
+      w: (3, 3, C_in, C_out) HWIO kernel.
+    Returns (N, H, W, C_out) in x dtype.
+    """
+    n, h, w_cols, c_in = x.shape
+    c_out = w.shape[-1]
+    L = h * w_cols
+    chunk = _nl_chunk(n, L)
+    w_all = w.reshape(9 * c_in, c_out).astype(x.dtype)   # tap-major rows
+    kern = functools.partial(_conv_nl_kernel, H=h, W=w_cols)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk * L, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c_in, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk * L, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * L, c_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.reshape(n * L, c_in), w_all)
+    return out.reshape(n, h, w_cols, c_out)
+
+
+def _dw_nl_kernel(x_ref, dy_ref, o_ref, *, H: int, W: int):
+    """Weight grad: accumulate P_chunk^T @ dY_chunk over the chunk grid.
+    x_ref (M, C_in), dy_ref (M, C_out), o_ref (9*C_in, C_out) f32."""
+    i = pl.program_id(0)
+    p = _build_p_nl(x_ref[...], H, W)
+    acc = jax.lax.dot_general(
+        p, dy_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (9*C_in, C_out)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = acc
+
+    @pl.when(i > 0)
+    def _acc():
+        o_ref[...] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _conv3x3_nl_dw(x_flat, dy_flat, *, H: int, W: int,
+                   interpret: bool = False):
+    """d(conv)/d(w) -> (3, 3, C_in, C_out) f32 from flattened activations."""
+    M_total, c_in = x_flat.shape
+    c_out = dy_flat.shape[1]
+    L = H * W
+    n = M_total // L
+    chunk = _nl_chunk(n, L)
+    kern = functools.partial(_dw_nl_kernel, H=H, W=W)
+    dw_wall = pl.pallas_call(
+        kern,
+        grid=(n // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk * L, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk * L, c_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * c_in, c_out), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * c_in, c_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_flat, dy_flat)
+    return dw_wall.reshape(3, 3, c_in, c_out)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_nl_fwd(interpret: bool):
+    """custom_partitioning wrapper: batch-DP forward (shard-local)."""
+
+    fn = custom_partitioning(
+        lambda x, w: conv3x3_nl(x, w, interpret=interpret))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        xs = NamedSharding(mesh, _batch_spec(axes, 4))
+        ws = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+        rs = NamedSharding(mesh, _batch_spec(axes, 4))
+
+        def lower_fn(x, w):
+            return conv3x3_nl(x, w, interpret=interpret)
+
+        return mesh, lower_fn, rs, (xs, ws)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        return NamedSharding(mesh, _batch_spec(axes, 4))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b h wd i, kh kw i o -> b h wd o")
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_nl_dw(H: int, W: int, interpret: bool):
+    """custom_partitioning wrapper: per-shard dw partial + psum (DP grad
+    all-reduce riding ICI)."""
+
+    fn = custom_partitioning(
+        lambda x, dy: _conv3x3_nl_dw(x, dy, H=H, W=W, interpret=interpret))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axes = _dim0_axes(arg_shapes[0].sharding)
+        xs = NamedSharding(mesh, _batch_spec(axes, 2))
+        ys = NamedSharding(mesh, _batch_spec(axes, 2))
+        rs = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+        def lower_fn(x, dy):
+            dw = _conv3x3_nl_dw(x, dy, H=H, W=W, interpret=interpret)
+            if axes:
+                dw = jax.lax.psum(dw, axes)
+            return dw
+
+        return mesh, lower_fn, rs, (xs, ys)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(None, None, None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="m i, m o -> kh kw i o",
+        reduction_factors=("m",))
+    return fn
+
+
+def _nl_fwd_dispatch(x, w, interpret):
+    if _multi_device():
+        return _sharded_nl_fwd(interpret)(x, w)
+    return conv3x3_nl(x, w, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_nl_ad(x, w, interpret: bool = False):
+    """Differentiable NL-sublanes 3x3 SAME conv (custom VJP).
+
+    dx = this kernel with the flipped/transposed weights (a SAME 3x3
+    conv's input-gradient IS a SAME 3x3 conv); dw = the chunk-grid
+    reduction kernel.  Matches jax.grad of lax.conv_general_dilated —
+    pinned in tests/test_pallas_conv.py.  Multi-device: both kernels ride
+    custom_partitioning (forward shard-local, dw psum over the mesh).
+    """
+    return _nl_fwd_dispatch(x, w, interpret)
+
+
+def _nl_ad_fwd(x, w, interpret):
+    return _nl_fwd_dispatch(x, w, interpret), (x, w)
+
+
+def _nl_ad_bwd(interpret, res, dy):
+    x, w = res
+    n, h, w_cols, c_in = x.shape
+    dx = _nl_fwd_dispatch(dy, _flip_w(w), interpret)
+    x_flat = x.reshape(n * h * w_cols, c_in)
+    dy_flat = dy.reshape(n * h * w_cols, dy.shape[-1])
+    # dw: shard-local chunk reduction (+psum under a mesh): the flattened
+    # batch dim m carries the batch sharding (n*h*w rows, batch-major)
+    if _multi_device():
+        dw = _sharded_nl_dw(h, w_cols, interpret)(x_flat, dy_flat)
+    else:
+        dw = _conv3x3_nl_dw(x_flat, dy_flat, H=h, W=w_cols,
+                            interpret=interpret)
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3_nl_ad.defvjp(_nl_ad_fwd, _nl_ad_bwd)
+
+
+def pallas_nl_enabled() -> bool:
+    """Trace-time switch for the NL-sublanes large-channel kernel
+    (PALLAS_CONV_NL env, default ON; 0 reverts those stages to stock XLA
+    for the A/B control)."""
+    return os.environ.get("PALLAS_CONV_NL", "1") == "1"
+
+
+def _eligible_channels_nl(c_in: int, c_out: int) -> bool:
+    """NL-kernel win region: the large-channel stages the CHW kernel
+    rejects.  Both ends must put real work on the MXU lanes (>=64) and at
+    least one side must reach the 128-lane tile the CHW kernel starves on."""
+    return (min(c_in, c_out) >= 64 and max(c_in, c_out) >= 128
+            and max(c_in, c_out) <= int(
+                os.environ.get("PALLAS_CONV_NL_MAX_CH", "256")))
+
+
 def nhwc_to_chw(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) -> (N, C, H*W) (the kernel's canonical layout)."""
     n, h, w, c = x.shape
@@ -775,7 +1055,7 @@ class Conv(_FallbackConv):
             if bias is not None:
                 y = y + bias[:, None].astype(y.dtype)
             return y
-        eligible = (
+        base_ok = (
             pallas_path_available()
             and x.ndim == 4
             and ks == (3, 3)
@@ -784,9 +1064,12 @@ class Conv(_FallbackConv):
             and self.feature_group_count == 1
             and self.kernel_dilation in (1, (1, 1), None)
             and self.input_dilation in (1, (1, 1), None)
-            and _eligible_channels(x.shape[-1], self.features)
         )
-        if not eligible:
+        eligible_chw = base_ok and _eligible_channels(x.shape[-1],
+                                                      self.features)
+        eligible_nl = (base_ok and pallas_nl_enabled()
+                       and _eligible_channels_nl(x.shape[-1], self.features))
+        if not (eligible_chw or eligible_nl):
             return super().__call__(x)
         kernel = self.param(
             "kernel", self.kernel_init,
@@ -795,7 +1078,12 @@ class Conv(_FallbackConv):
                            self.param_dtype) if self.use_bias else None)
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
-        y = conv3x3_nhwc_ad(x, kernel, interpret=interpret)
+        if eligible_chw:
+            y = conv3x3_nhwc_ad(x, kernel, interpret=interpret)
+        else:
+            # large-channel stage: NL-sublanes kernel (native NHWC layout,
+            # zero boundary transposes)
+            y = conv3x3_nl_ad(x, kernel, interpret)
         if bias is not None:
             y = y + bias
         return y

@@ -417,3 +417,124 @@ def test_chw_stage_chaining_matches_stock(monkeypatch, np_rng, case):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=3e-5, atol=3e-5)
     _grads_close(g_s, g_f)
+
+
+# ------------------------- NL-sublanes kernel (large channels) -------------------------
+#
+# The second tiling (channels on lanes, flattened batch*pixels on sublanes)
+# for the 128-channel stages the CHW kernel rejects — enc.d3/d4 residual
+# cores, code decoupler, decoder bottoms (channel plan
+# medseg/models/ebm/encoder_decoder.py:351-453).
+
+
+@pytest.mark.parametrize("n,h,cin,cout", [
+    (2, 12, 128, 128),   # latent-resolution stage, single chunk
+    (4, 24, 64, 128),    # enc.d3.conv1 shape, chunked (4*576 rows)
+    (2, 24, 128, 64),    # decoder bottom
+    (3, 12, 128, 128),   # odd batch -> chunk divisor path
+])
+def test_nl_matches_stock_conv(n, h, cin, cout, np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+        conv3x3_nl,
+    )
+
+    x = jnp.asarray(np_rng.randn(n, h, h, cin).astype(np.float32))
+    w = jnp.asarray(0.1 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+    got = conv3x3_nl(x, w, interpret=True)
+    want = _stock(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nl_edge_masking_kills_cross_image_reads(np_rng):
+    """Rolls in the flattened (N*H*W) layout cross image boundaries; the
+    per-image edge masks must kill every such contribution.  An input where
+    image k is constant k+1 convolved with an all-ones kernel must produce
+    per-image outputs identical to running each image alone."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+        conv3x3_nl,
+    )
+
+    h, c = 12, 64
+    x = jnp.stack([jnp.full((h, h, c), float(k + 1)) for k in range(3)])
+    w = jnp.ones((3, 3, c, 128), jnp.float32)
+    got = conv3x3_nl(x, w, interpret=True)
+    for k in range(3):
+        alone = conv3x3_nl(x[k:k + 1], w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(alone[0]),
+                                   rtol=1e-6)
+
+
+def test_nl_grad_matches_stock(np_rng):
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+        conv3x3_nl_ad,
+    )
+
+    n, h, cin, cout = 2, 12, 64, 128
+    x = jnp.asarray(np_rng.randn(n, h, h, cin).astype(np.float32))
+    w = jnp.asarray(0.1 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+    cot = jnp.asarray(np_rng.randn(n, h, h, cout).astype(np.float32))
+
+    def f_pallas(x, w):
+        return jnp.sum(conv3x3_nl_ad(x, w, True) * cot)
+
+    def f_stock(x, w):
+        return jnp.sum(_stock(x, w) * cot)
+
+    gx_p, gw_p = jax.grad(f_pallas, argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(f_stock, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_nl_eligibility_rule():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+        _eligible_channels,
+        _eligible_channels_nl,
+    )
+
+    # the two kernels partition the stages: CHW takes <=64, NL takes the
+    # large-channel stages (64<->128 boundaries included on the NL side)
+    assert _eligible_channels(16, 16) and not _eligible_channels_nl(16, 16)
+    assert _eligible_channels(32, 64) and not _eligible_channels_nl(32, 64)
+    assert not _eligible_channels(64, 128) and _eligible_channels_nl(64, 128)
+    assert not _eligible_channels(128, 128) and _eligible_channels_nl(128, 128)
+    # no overlap anywhere in the network's channel plan
+    for cin, cout in [(16, 16), (16, 32), (32, 32), (32, 64), (64, 64),
+                      (64, 128), (128, 128), (128, 64)]:
+        assert not (_eligible_channels(cin, cout)
+                    and _eligible_channels_nl(cin, cout))
+
+
+def test_nl_sharded_matches_single(np_rng):
+    """NL kernel under pjit over the 8-device mesh: batch stays sharded
+    (custom_partitioning), values match the single-device run."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
+        conv3x3_nl_ad,
+    )
+    from cooperative_training_and_latent_space_data_augmentation_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    n, h, cin, cout = 8, 12, 64, 128
+    x = jnp.asarray(np_rng.randn(n, h, h, cin).astype(np.float32))
+    w = jnp.asarray(0.1 * np_rng.randn(3, 3, cin, cout).astype(np.float32))
+    cot = jnp.asarray(np_rng.randn(n, h, h, cout).astype(np.float32))
+
+    def loss(x, w):
+        return jnp.sum(conv3x3_nl_ad(x, w, True) * cot)
+
+    gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, PartitionSpec()))
+    gx8, gw8 = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, ws)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw8), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-4)

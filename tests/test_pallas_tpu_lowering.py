@@ -88,3 +88,31 @@ def test_percentile_mask_lowers_for_tpu():
     sal = jnp.zeros((4, 128), jnp.float32)
     soft = jnp.zeros((4, 128), jnp.float32)
     _export_tpu(lambda s, v: fused_percentile_mask(s, 0.3, v), sal, soft)
+
+
+def test_nl_fwd_lowers_for_tpu():
+    x = jnp.zeros((2, 12, 12, 128), jnp.float32)
+    w = jnp.zeros((3, 3, 128, 128), jnp.float32)
+    _export_tpu(pc.conv3x3_nl, x, w)
+
+
+def test_nl_fwd_bf16_lowers_for_tpu():
+    x = jnp.zeros((4, 24, 24, 64), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 64, 128), jnp.bfloat16)
+    _export_tpu(pc.conv3x3_nl, x, w)
+
+
+def test_nl_dw_lowers_for_tpu():
+    x = jnp.zeros((2 * 12 * 12, 128), jnp.float32)
+    dy = jnp.zeros((2 * 12 * 12, 128), jnp.float32)
+    _export_tpu(functools.partial(pc._conv3x3_nl_dw, H=12, W=12), x, dy)
+
+
+def test_nl_full_vjp_lowers_for_tpu():
+    x = jnp.zeros((2, 24, 24, 128), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 128, 64), jnp.bfloat16)
+
+    def loss(x, w):
+        return pc.conv3x3_nl_ad(x, w, False).sum()
+
+    _export_tpu(jax.grad(loss, argnums=(0, 1)), x, w)
