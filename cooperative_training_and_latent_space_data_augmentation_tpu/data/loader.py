@@ -363,6 +363,20 @@ class EvalBatcher:
             batch["real_count"] = real_count  # plain int; added post-device_put
             yield batch
 
+    def stacked_epoch(self):
+        """The whole deterministic validation epoch as stacked device
+        arrays: (imgs (Nb, B, H, W, 1), lbls (Nb, B, H, W) int32,
+        real_counts (Nb,) int32) — the input format of the K-epoch fused
+        window (train/multi_epoch.py), whose on-device eval scan masks the
+        wrap-padded tail rows via real_counts."""
+        imgs, lbls, reals = [], [], []
+        for batch in self.epoch():
+            imgs.append(batch["image"])
+            lbls.append(jax.numpy.asarray(batch["label"], jax.numpy.int32))
+            reals.append(batch["real_count"])
+        return (jax.numpy.stack(imgs), jax.numpy.stack(lbls),
+                jax.numpy.asarray(np.asarray(reals, np.int32)))
+
     def epoch(self) -> Iterator[Dict[str, jax.Array]]:
         # The eval transform is deterministic, so the device-side batches
         # are identical every epoch: cache them on device after the first

@@ -182,3 +182,60 @@ def test_fused_pipelined_matches_serial_consume(tmp_path, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(state_p.params),
                     jax.tree_util.tree_leaves(state_s.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_multi_epoch_window_matches_serial(tmp_path, monkeypatch):
+    """MULTI_EPOCH=E (K-epoch fused window: train + on-device validation +
+    best tracking in one dispatch — VERDICT r3 #7) must reproduce the
+    serial fused path: same per-epoch losses and validation scores (to the
+    scan-vs-dispatch float reorder band), same model selection, same final
+    params."""
+    import json
+
+    def run(tag, window_env):
+        monkeypatch.setenv("FUSED_EPOCH", "1")
+        monkeypatch.setenv("MULTI_EPOCH", window_env)
+        cfg = ExperimentConfig.from_dict({
+            "name": tag,
+            "data": {"pad_size": [64, 64, 1], "crop_size": [48, 48, 1],
+                     "data_aug_policy": "ACDC_affine",
+                     "keep_orig_image_label_pair_for_training": True,
+                     "num_classes": 4},
+            "learning": {"latent_DA": True, "batch_size": 4, "n_epochs": 5,
+                         "max_iteration": 50000, "lr": 1e-3},
+            "output": {"save_epoch_every_num_epochs": 10},
+        })
+        train_set = SyntheticSegDataset(length=8, pad_size=(64, 64), seed=0)
+        val_set = SyntheticSegDataset(length=5, pad_size=(64, 64), seed=1)
+        solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                          input_hw=(48, 48),
+                                          learning_rate=cfg.learning.lr)
+        log_dir, model_dir = experiment_dirs(
+            str(tmp_path), "synthetic", "smoke", 4, tag, 0)
+        state, best, last_epoch = train_network(
+            tag, train_set, val_set, solver, cfg, model_dir=model_dir,
+            log_dir=log_dir, log=True, seed=0, use_orbax=False)
+        with open(os.path.join(log_dir, "scalars.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        scalars = {(r["tag"], r["step"]): r["value"] for r in rows
+                   if not r["tag"].startswith("time/")}
+        assert os.path.exists(os.path.join(model_dir, "best", "checkpoints",
+                                           "image_encoder.msgpack"))
+        return state, best, last_epoch, scalars
+
+    # epoch 0 serial (mandatory epoch-0 checkpoint), epochs 1-2 and 3-4 in
+    # two fused windows
+    state_w, best_w, last_w, scal_w = run("window", "2")
+    state_s, best_s, last_s, scal_s = run("serial", "0")
+    assert last_w == last_s == 4
+    assert set(scal_w) == set(scal_s)
+    for key in sorted(scal_s):
+        np.testing.assert_allclose(
+            scal_w[key], scal_s[key], rtol=1e-3, atol=1e-5,
+            err_msg=f"scalar {key} diverged between window and serial")
+    np.testing.assert_allclose(best_w, best_s, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_w.params),
+                    jax.tree_util.tree_leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
