@@ -893,9 +893,20 @@ conv3x3_nl_ad.defvjp(_nl_ad_fwd, _nl_ad_bwd)
 
 def pallas_nl_enabled() -> bool:
     """Trace-time switch for the NL-sublanes large-channel kernel
-    (PALLAS_CONV_NL env, default ON; 0 reverts those stages to stock XLA
-    for the A/B control)."""
-    return os.environ.get("PALLAS_CONV_NL", "1") == "1"
+    (PALLAS_CONV_NL env).
+
+    Default OFF — a documented MEASURED NEGATIVE result (third in the
+    family after the staircase packing and the stride-2 phase kernel):
+    isolation on v5e (cli/bench_nl_conv.py, batch 40 bf16, both sides in
+    native NHWC so no transpose asymmetry) has stock XLA running the
+    128-channel stages at 93-172 TFLOP/s — 47-88 % MFU, NOT the
+    single-digit MFU hypothesized from whole-step arithmetic — and the NL
+    kernel 0.44-0.56x behind it.  The 86 ms step's remaining time is NOT
+    in these convs (see cli/profile_step_knockout.py).  The kernel stays
+    correct (value/grad/sharding pinned in tests/test_pallas_conv.py,
+    Mosaic-lowerable per tests/test_pallas_tpu_lowering.py) and opt-in
+    for future re-measurement."""
+    return os.environ.get("PALLAS_CONV_NL", "0") == "1"
 
 
 def _eligible_channels_nl(c_in: int, c_out: int) -> bool:
