@@ -116,3 +116,27 @@ def test_nl_full_vjp_lowers_for_tpu():
         return pc.conv3x3_nl_ad(x, w, False).sum()
 
     _export_tpu(jax.grad(loss, argnums=(0, 1)), x, w)
+
+
+def test_b8_fwd_lowers_for_tpu():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv_blocked as pb,
+    )
+
+    x = jnp.zeros((2, 192, 192, 16), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 16, 16), jnp.bfloat16)
+    _export_tpu(pb.conv3x3_b8, x, w)
+
+
+def test_b8_full_vjp_lowers_for_tpu():
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops import (
+        pallas_conv_blocked as pb,
+    )
+
+    x = jnp.zeros((2, 48, 48, 32), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 32, 64), jnp.bfloat16)
+
+    def loss(x, w):
+        return pb.conv3x3_b8_ad(x, w, False).sum()
+
+    _export_tpu(jax.grad(loss, argnums=(0, 1)), x, w)
