@@ -40,8 +40,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# ---- force jax (used only for the shared augmentation pipeline) onto CPU
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# ---- force jax (used only for the shared augmentation pipeline) onto CPU.
+# Unconditional: the harness exports JAX_PLATFORMS=axon globally, and this
+# torch-side driver must never contend for the one TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "space-to-batch-converter" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -209,6 +211,12 @@ def main():
                     help="timing-anchor mode: run N iterations, print "
                          "sec/iter JSON, exit")
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from {out_dir}/best_model.pth (the "
+                         "reference snapshot holds 5 model + 5 optimizer "
+                         "states + epoch, advanced...py:680-738); the jax "
+                         "augmentation key stream is re-advanced so epochs "
+                         "see the same batches as an uninterrupted run")
     ap.add_argument("--acdc_root", default=None,
                     help="synthetic ACDC tree for held-out volume Dice")
     ap.add_argument("--eval_every", type=int, default=1)
@@ -270,8 +278,27 @@ def main():
 
     log_path = os.path.join(args.out_dir, "epochs.jsonl")
     best = -1e9
+    start_epoch = 0
+    if args.resume and os.path.exists(ckpt_path):
+        start_epoch = int(solver.load_snapshots(ckpt_path)) + 1
+        # re-advance the per-epoch augmentation key stream so resumed
+        # epochs draw the same batches an uninterrupted run would have
+        for _ in range(start_epoch):
+            rng, _ = jax.random.split(rng)
+        if os.path.exists(log_path):
+            # keep one coherent trajectory: drop records past the snapshot
+            # (a crash may have logged epochs after the last best save)
+            recs = [json.loads(l) for l in open(log_path)]
+            kept = [r for r in recs if r["epoch"] < start_epoch]
+            best = max((r["val_iou"] for r in kept if "val_iou" in r),
+                       default=-1e9)
+            with open(log_path, "w") as f:
+                for r in kept:
+                    f.write(json.dumps(r) + "\n")
+        print(json.dumps({"resumed_from_epoch": start_epoch - 1,
+                          "best_so_far": best}), flush=True)
     with open(log_path, "a") as log:
-        for epoch in range(args.max_epochs):
+        for epoch in range(start_epoch, args.max_epochs):
             t0 = time.perf_counter()
             std_sum = hard_sum = 0.0
             n = 0

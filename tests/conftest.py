@@ -25,6 +25,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# The suite's wall clock is dominated by XLA-CPU compiles of the fused
+# train-step/epoch graphs (identical across runs); the persistent compile
+# cache (same one every entry point uses) makes re-runs start warm.
+from cooperative_training_and_latent_space_data_augmentation_tpu.utils.cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
