@@ -343,14 +343,51 @@ def conv3x3_chw_ad(x_chw, w, H: int, W: int, interpret: bool = False):
     return _conv_fwd_dispatch(x_chw, w, H, W, interpret)
 
 
+def vjp_mode() -> str:
+    """Backward route for the CHW kernel (PALLAS_VJP env):
+
+    - ``pallas``: dx rides the forward kernel with flipped weights, dw is
+      the Pallas batch-grid reduction kernel.
+    - ``stock``: whole backward through jax.vjp of stock lax.conv on the
+      NCHW view ((N, C, H*W) -> (N, C, H, W) is a free minor-dim split).
+    - ``hybrid``: dx via the Pallas kernel (the CHW chain's layout
+      survives), dw alone via stock XLA.
+
+    Isolation (cli/bench_b8_conv.py, v5e batch 20 bf16): stock backward
+    beats the Pallas dx+dw pair at the deeper stages (48^2 32->64: 0.048
+    vs 0.083 ms; 48^2 64->64: 0.065 vs 0.172) and ties shallow — the
+    Pallas dw reduction's (9*C_in x C_out) output starves the MXU.  The
+    end-to-end A/B (RESULTS.md) picks the default."""
+    return os.environ.get("PALLAS_VJP", "pallas")
+
+
+def _conv_nchw_stock(x4, w_):
+    return jax.lax.conv_general_dilated(
+        x4, w_, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+
+
 def _conv_ad_fwd(x_chw, w, H, W, interpret):
     return _conv_fwd_dispatch(x_chw, w, H, W, interpret), (x_chw, w)
 
 
 def _conv_ad_bwd(H, W, interpret, res, dy):
     x_chw, w = res
+    mode = vjp_mode()
+    n, c_in, L = x_chw.shape
+    if mode == "stock":
+        # jax.vjp of the stock conv emits XLA's fused dx/dw backward graph
+        # (the unused forward value is DCE'd).
+        _, vjp = jax.vjp(_conv_nchw_stock, x_chw.reshape(n, c_in, H, W), w)
+        dx4, dw = vjp(dy.reshape(n, dy.shape[1], H, W))
+        return dx4.reshape(n, c_in, L), dw.astype(w.dtype)
     dx = _conv_fwd_dispatch(dy, _flip_w(w), H, W, interpret)
-    dw = _conv_dw_dispatch(x_chw, dy, H, W, interpret)
+    if mode == "hybrid":
+        x4 = x_chw.reshape(n, c_in, H, W)
+        _, vjp_w = jax.vjp(lambda w_: _conv_nchw_stock(x4, w_), w)
+        dw, = vjp_w(dy.reshape(n, dy.shape[1], H, W))
+    else:
+        dw = _conv_dw_dispatch(x_chw, dy, H, W, interpret)
     return dx, dw.astype(w.dtype)
 
 

@@ -69,7 +69,12 @@ def test_weights_to_wall_layout(np_rng):
                                       np.asarray(w)[ki, kj].T)
 
 
-def test_custom_vjp_matches_stock_grads(np_rng):
+@pytest.mark.parametrize("vjp_backend", ["pallas", "stock", "hybrid"])
+def test_custom_vjp_matches_stock_grads(monkeypatch, np_rng, vjp_backend):
+    """All VJP routes — the Pallas dx/dw kernels, the stock lax.conv
+    backward on the NCHW view, and the hybrid (Pallas dx + stock dw)
+    (PALLAS_VJP) — must match jax.grad of the stock conv."""
+    monkeypatch.setenv("PALLAS_VJP", vjp_backend)
     from cooperative_training_and_latent_space_data_augmentation_tpu.ops.pallas_conv import (
         conv3x3_nhwc_ad,
     )
