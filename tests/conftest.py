@@ -38,6 +38,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (compile-heavy value-equivalence "
+             "cases, ~23 min extra on XLA-CPU); RUN_SLOW=1 works too")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default `pytest tests/ -x -q` stays under ~8 min (VERDICT r3 #8) by
+    skipping the compile-heavy `slow` cases; every slow case is the long
+    variant of a path a fast test still covers.  Full suite:
+    `RUN_SLOW=1 python -m pytest tests/` (or --runslow)."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW", "0") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: set RUN_SLOW=1 or --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)

@@ -77,7 +77,8 @@ def test_hard_example_generation(solver, state):
     assert np.asarray(p_img).min() >= 0 and np.asarray(p_img).max() <= 1
 
 
-@pytest.mark.parametrize("latent_da", [None, LatentDAConfig()])
+@pytest.mark.parametrize("latent_da", [
+    None, pytest.param(LatentDAConfig(), marks=pytest.mark.slow)])
 def test_train_step_runs_and_learns(solver, latent_da):
     state = solver.init_state(jax.random.PRNGKey(0))
     step = solver.make_train_step(latent_da=latent_da, donate=False)
@@ -102,6 +103,7 @@ def test_train_step_runs_and_learns(solver, latent_da):
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_separate_training_blocks_stn_to_ftn_grads(solver):
     """separate_training=True must stop STN loss gradients from reaching the
     FTN encoder through y0 (advanced...py:458-466)."""
@@ -247,6 +249,7 @@ def test_checkpoint_roundtrip(solver, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_dropout_enabled_training_works(rng):
     """encoder/decoder dropout must be usable: the train step threads a
     'dropout' PRNG to every submodule (flax requires it when
@@ -303,6 +306,7 @@ def test_dropout_masks_independent_per_forward():
     np.testing.assert_allclose(np.asarray(b), np.asarray(b2))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("latent_da", [None, LatentDAConfig()])
 @pytest.mark.parametrize("separate", [False, True])
 def test_fused_stn_step_matches_sequential(latent_da, separate):
