@@ -1,12 +1,12 @@
 """Per-stage TPU profile of the device augmentation pipeline.
 
-The fused augmentation pipeline measures 103 ms per 10-raw-sample batch
-(224^2 pad -> 192^2 crop, full ACDC policy) — larger than the 86 ms
-cooperative train step it feeds (RESULTS.md).  This breaks that cost down
-by stage with the fused-scan marginal method (the only honest timing on
-the tunneled backend): each stage is scanned K=40-vs-10 times over a
-batch of 10 samples with fresh keys, value-forced, and the marginal is
-reported.
+Breaks the augment_sample cost (per 10-raw-sample batch, 224^2 pad ->
+192^2 crop, full ACDC policy) down by stage with the fused-scan marginal
+method (the only honest timing on the tunneled backend): each stage is
+scanned K=40-vs-10 times over a batch of 10 samples with fresh keys,
+value-forced, and the marginal is reported.  Stages run standalone, so
+shared subexpressions are double-counted vs the FULL row; the FULL row is
+the number the epoch decomposition uses.
 
 Reference counterparts: transform.py:46-112 pipeline stages
 (MyRandomPurtarbation/V2, RandomBrightnessFluctuation, ts.RandomAffine,
@@ -79,46 +79,60 @@ def main():
     lbl = jax.random.randint(jax.random.PRNGKey(1), (B, H, W), 0, 4)
     ys0, xs0 = aug._base_grid(CROP, CROP)
 
-    # Every stage takes a FRESH key and derives its inputs from it — a
-    # key-independent stage gets hoisted out of the timing scan by XLA and
-    # reads as ~0 ms (this profiler's first version did exactly that).
-    def coords(k):
-        # warp coords jittered per step so the gathers can't be hoisted;
-        # crop-composed output grid (192^2), like augment_sample
-        j = jax.random.uniform(k, (2, B, CROP, CROP), minval=-3.0, maxval=3.0)
-        off = (H - CROP) // 2
-        return ys0 + off + j[0], xs0 + off + j[1]
+    # Two harness rules, both learned from under-measurements:
+    #  * consume the FULL output (an early version reduced a 2x2 corner and
+    #    XLA slice-propagated/DCE'd most of each stage);
+    #  * PER-SAMPLE keys, exactly like the shipped pipeline
+    #    (ops/augment.py:781,801 splits the batch key per sample).  Closing
+    #    one key over the whole vmapped batch gives every sample identical
+    #    random fields/coords, which lets XLA hoist the per-sample field
+    #    math out of the vmap and batch the B neighborhood gathers over
+    #    shared indices — the FULL pipeline then reads ~7 ms/batch vs the
+    #    honest ~20 ms (and 16 x that missing ~13 ms/batch is precisely the
+    #    epoch-decomposition gap profile_fused_epoch.py went hunting).
+    def consume(tree):
+        return sum(jnp.sum(leaf.astype(jnp.float32))
+                   for leaf in jax.tree.leaves(tree))
 
-    def vm(fn, *xs_in):
-        return jnp.sum(jax.vmap(fn)(*xs_in).astype(jnp.float32)[:, :2, :2])
+    def vmk(k, fn, *xs_in):
+        """vmap fn(key, *per_sample_args) with per-sample keys; consume all."""
+        return consume(jax.vmap(fn)(jax.random.split(k, B), *xs_in))
+
+    def coords(k):
+        # per-sample smooth displacement (the pipeline's own elastic field)
+        # composed on the crop-offset 192^2 output grid, like augment_sample
+        dydx = jax.vmap(lambda kk: jnp.stack(
+            aug._elastic_field(kk, CROP, CROP, policy)))(
+                jax.random.split(jax.random.fold_in(k, 7), B))
+        off = (H - CROP) // 2
+        return ys0 + off + dydx[:, 0], xs0 + off + dydx[:, 1]
 
     stages = {
-        "bias_field_v1 (multi-scale FFT field)": lambda k: vm(
-            lambda i: aug.bias_field_v1(k, i, policy), img),
-        "bias_field_v2 (B-spline knots)": lambda k: vm(
-            lambda i: aug.bias_field_v2(k, i, policy), img),
-        "brightness_contrast": lambda k: vm(
-            lambda i: aug.brightness_contrast(k, i, policy), img),
-        "elastic field gen (FFT smooth)": lambda k: (
-            lambda dydx: jnp.sum(dydx[0][:2, :2] + dydx[1][:2, :2]))(
-                aug._elastic_field(k, H, W, policy)),
-        "warp_image (order-3, 224^2 src -> 192^2 out)": lambda k: (
-            lambda yx: vm(lambda i, y, x: aug.warp_image(i, y, x),
-                          img, yx[0], yx[1]))(coords(k)),
-        "warp_label (order-3 per-class, 224^2 src -> 192^2 out)": lambda k: (
-            lambda yx: vm(lambda l, y, x: aug.warp_label(l, y, x, 4).astype(
-                jnp.float32), lbl, yx[0], yx[1]))(coords(k)),
-        "percentile_normalize (192^2)": lambda k: (
-            lambda j: vm(aug.percentile_normalize,
-                         img[:, :CROP, :CROP] + j))(
-            jax.random.uniform(k, (B, 1, 1, 1))),
-        "FULL augment_sample pipeline (img+lbl consumed)": lambda k: vm(
-            lambda i, l: aug.augment_sample(k, i, l, policy, (H, W),
-                                            (CROP, CROP), 4)[0], img, lbl
-        ) + vm(
-            lambda i, l: aug.augment_sample(k, i, l, policy, (H, W),
-                                            (CROP, CROP), 4)[1].astype(
-                                                jnp.float32), img, lbl),
+        "bias_field_v1 (multi-scale FFT field)": lambda k: vmk(
+            k, lambda kk, i: aug.bias_field_v1(kk, i, policy), img),
+        "bias_field_v2 (B-spline knots)": lambda k: vmk(
+            k, lambda kk, i: aug.bias_field_v2(kk, i, policy), img),
+        "brightness_contrast": lambda k: vmk(
+            k, lambda kk, i: aug.brightness_contrast(kk, i, policy), img),
+        "elastic field gen (FFT smooth, per-sample)": lambda k: vmk(
+            k, lambda kk: jnp.stack(aug._elastic_field(kk, H, W, policy))),
+        # the SHIPPED warp path: augment_sample warps image+label through
+        # warp_image_and_label (one fused gather).  The standalone
+        # warp_image/warp_label entry points take the unfused
+        # map_coordinates_cubic route (two 16-tap gathers) and measure
+        # far slower standalone — do not profile those as pipeline stages.
+        "warp_image_and_label (fused order-3, 224^2 -> 192^2)": lambda k: (
+            lambda yx: consume(jax.vmap(
+                lambda i, l, y, x: aug.warp_image_and_label(i, l, y, x, 4)
+            )(img, lbl, yx[0], yx[1])))(coords(k)),
+        "percentile_normalize (192^2)": lambda k: vmk(
+            k, lambda kk, i: aug.percentile_normalize(
+                i + jax.random.uniform(kk, (1, 1, 1))),
+            img[:, :CROP, :CROP]),
+        "FULL augment_sample pipeline (img+lbl consumed)": lambda k: vmk(
+            k, lambda kk, i, l: aug.augment_sample(kk, i, l, policy, (H, W),
+                                                   (CROP, CROP), 4),
+            img, lbl),
     }
 
     rows = []
@@ -128,7 +142,8 @@ def main():
         print(json.dumps({"stage": name, "ms_per_batch": round(ms, 2)}),
               flush=True)
 
-    full = dict(rows).get("FULL augment_sample pipeline", float("nan"))
+    full = next((ms for name, ms in rows if name.startswith("FULL")),
+                float("nan"))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# Augmentation pipeline per-stage profile "

@@ -41,6 +41,21 @@ tolerance (cli/check_pallas_values.py).
 Training works through a custom VJP: dx is this same kernel with the
 flipped/transposed weights; dw is a second Pallas reduction kernel
 accumulating P_i @ dy_i^T across the batch grid.
+
+Considered and bounded-out: fusing the BN+LeakyReLU epilogue into the
+kernel.  XLA already fuses the normalize-apply + LReLU into ONE elementwise
+HBM pass between conv kernels (saved/layer_profile.md "fusion bar": the
+full 192^2 16->16 residual core runs 0.429 ms fwd vs ~0.31 ms for its two
+Pallas convs alone, i.e. ~0.12 ms for ALL inter-conv glue at the largest
+stage).  The roofline for one such pass is ~0.06 ms (20x192^2x16 bf16
+read+write at 819 GB/s); an in-kernel epilogue can only save the
+write+read BETWEEN conv and norm — a <=2-3 ms ceiling across the whole
+86 ms step (every stage, all three gradient passes) — while BN's batch
+statistics still need a cross-image reduction pass the per-image grid
+cannot produce, and the custom VJP would have to differentiate through the
+fused normalize.  Not worth the complexity at this model scale; the
+measured wall is MXU fill (C_out <= 64 rows of the 128-row systolic
+array), not relayout traffic.
 """
 
 from __future__ import annotations
