@@ -289,13 +289,11 @@ def _fused_warp_enabled() -> bool:
     return os.environ.get("FUSED_WARP", "1") == "1"
 
 
-def warp_image_and_label(img_hwc, label_hw, ys, xs, num_classes: int):
-    """Fused order-3 image + per-class label warp sharing ONE gather.
+_WARP_PAD = 12  # scipy 'nearest' edge pre-pad (ops/spline.py map_coordinates_cubic)
 
-    XLA-TPU gathers pay per INDEX, and warp_image + warp_label each issue a
-    192^2-index (4,4,C) neighborhood gather at the same sample coordinates —
-    the dominant cost of the device augmentation pipeline.  This fuses both
-    into a single gather over a channel-concatenated coefficient array:
+
+def _fused_warp_coeffs(img_hwc, label_hw, num_classes: int):
+    """Channel-concatenated spline-coefficient stack for the fused warp.
 
     * label channels: exactly warp_label's scipy-'nearest' construction —
       one-hot classes 1..C-1, edge-pad 12, mirror prefilter, 2-wide
@@ -307,18 +305,13 @@ def warp_image_and_label(img_hwc, label_hw, ys, xs, num_classes: int):
       integer shift preserves fractional parts, and reflect/mirror folds
       are the identity inside the domain).  Rows the two boundary
       extensions would disagree on are only fetched for out-of-domain
-      coordinates, and both outputs mask those to zero/background — pinned
-      bit-exact against the separate warps in tests/test_augment.py.
-
-    Returns (warped image HWC, warped label HW) at ys.shape resolution.
+      coordinates, and both outputs mask those to zero/background.
     """
     from cooperative_training_and_latent_space_data_augmentation_tpu.ops.spline import (
-        _bspline_weights,
         spline_coefficients,
     )
 
-    h, w = label_hw.shape
-    pad = 12
+    pad = _WARP_PAD
     onehot = jax.nn.one_hot(label_hw, num_classes, dtype=jnp.float32)[..., 1:]
     lbl_ext = jnp.pad(onehot, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     lbl_cfp = jnp.pad(spline_coefficients(lbl_ext, "mirror"),
@@ -326,33 +319,202 @@ def warp_image_and_label(img_hwc, label_hw, ys, xs, num_classes: int):
     img_cfp = jnp.pad(spline_coefficients(img_hwc, "reflect"),
                       ((2, 2), (2, 2), (0, 0)), mode="symmetric")
     img_big = jnp.pad(img_cfp, ((pad, pad), (pad, pad), (0, 0)))
-    big = jnp.concatenate([img_big.astype(jnp.float32), lbl_cfp], axis=-1)
+    return jnp.concatenate([img_big.astype(jnp.float32), lbl_cfp], axis=-1)
 
+
+def _fused_warp_prep(ys, xs, h: int, w: int):
+    """Clip sample coords into the padded frame, split into integer tap
+    start (in the 2-padded coefficient frame) + the 4 cubic B-spline tap
+    weights per axis.  Elementwise — works for any leading batch shape."""
+    from cooperative_training_and_latent_space_data_augmentation_tpu.ops.spline import (
+        _bspline_weights,
+    )
+
+    pad = _WARP_PAD
     hl, wl = h + 2 * pad, w + 2 * pad
     yl = jnp.clip(ys + pad, 0.0, hl - 1.0)
     xl = jnp.clip(xs + pad, 0.0, wl - 1.0)
     y0 = jnp.floor(yl)
     x0 = jnp.floor(xl)
-    wy = jnp.stack(_bspline_weights(yl - y0), axis=-1).reshape(-1, 4)
-    wx = jnp.stack(_bspline_weights(xl - x0), axis=-1).reshape(-1, 4)
-    idx = jnp.stack([y0.astype(jnp.int32).reshape(-1) + 1,
-                     x0.astype(jnp.int32).reshape(-1) + 1], axis=-1)
+    wy = jnp.stack(_bspline_weights(yl - y0), axis=-1)        # (..., 4)
+    wx = jnp.stack(_bspline_weights(xl - x0), axis=-1)
+    # window/gather start row for tap a is iy + a in the 2-padded frame
+    iy = y0.astype(jnp.int32) + 1
+    ix = x0.astype(jnp.int32) + 1
+    return iy, ix, wy, wx
+
+
+def _fused_warp_gather_eval(big, iy, ix, wy, wx):
+    """Per-pixel (4,4,C)-slice gather evaluation (one sample)."""
     c = big.shape[-1]
+    idx = jnp.stack([iy.reshape(-1), ix.reshape(-1)], axis=-1)
     dn = jax.lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
                                         collapsed_slice_dims=(),
                                         start_index_map=(0, 1))
     g = jax.lax.gather(big, idx, dn, slice_sizes=(4, 4, c))
-    out = jnp.einsum("nabc,na,nb->nc", g, wy, wx).reshape(ys.shape + (c,))
+    out = jnp.einsum("nabc,na,nb->nc", g, wy.reshape(-1, 4), wx.reshape(-1, 4))
+    return out.reshape(iy.shape + (c,))
 
+
+def _fused_warp_post(out, ys, xs, h: int, w: int, n_img: int,
+                     num_classes: int, img_dtype, lbl_dtype):
+    """Zero-fill the image outside the source frame; reference >=0.5
+    ascending per-class overwrite for the label.  Elementwise/batched."""
     valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
-    n_img = img_hwc.shape[-1]
     img_out = jnp.where(valid[..., None], out[..., :n_img],
-                        0.0).astype(img_hwc.dtype)
-    result = jnp.zeros(ys.shape, label_hw.dtype)
+                        0.0).astype(img_dtype)
+    result = jnp.zeros(ys.shape, lbl_dtype)
     for cc in range(1, num_classes):
         hit = (out[..., n_img + cc - 1] >= 0.5) & valid
-        result = jnp.where(hit, jnp.asarray(cc, label_hw.dtype), result)
+        result = jnp.where(hit, jnp.asarray(cc, lbl_dtype), result)
     return img_out, result
+
+
+def warp_image_and_label(img_hwc, label_hw, ys, xs, num_classes: int):
+    """Fused order-3 image + per-class label warp sharing ONE gather.
+
+    XLA-TPU gathers pay per INDEX, and warp_image + warp_label each issue a
+    192^2-index (4,4,C) neighborhood gather at the same sample coordinates —
+    the dominant cost of the device augmentation pipeline.  This fuses both
+    into a single gather over a channel-concatenated coefficient array
+    (see :func:`_fused_warp_coeffs` for the exactness argument) — pinned
+    bit-exact against the separate warps in tests/test_augment.py.
+
+    Returns (warped image HWC, warped label HW) at ys.shape resolution.
+    """
+    h, w = label_hw.shape
+    big = _fused_warp_coeffs(img_hwc, label_hw, num_classes)
+    iy, ix, wy, wx = _fused_warp_prep(ys, xs, h, w)
+    out = _fused_warp_gather_eval(big, iy, ix, wy, wx)
+    return _fused_warp_post(out, ys, xs, h, w, img_hwc.shape[-1],
+                            num_classes, img_hwc.dtype, label_hw.dtype)
+
+
+def _tiled_warp_enabled() -> bool:
+    """Trace-time switch for the tile-local matmul warp evaluation
+    (TILED_WARP env, default ON; TILED_WARP=0 for the per-pixel gather)."""
+    return os.environ.get("TILED_WARP", "1") == "1"
+
+
+_TILE = 16     # output tile edge (16x16 output pixels per window)
+_WINDOW = 48   # source window edge per tile (covers the tile's taps)
+
+
+def _tilize(a, n: int, gy: int, gx: int, t: int):
+    """(N, gy*t, gx*t, *extra) -> (N, gy*gx, t*t, *extra)."""
+    extra = a.shape[3:]
+    a = a.reshape(n, gy, t, gx, t, *extra)
+    a = jnp.moveaxis(a, 3, 2)
+    return a.reshape(n, gy * gx, t * t, *extra)
+
+
+def _untilize(a, n: int, gy: int, gx: int, t: int):
+    """(N, gy*gx, t*t, *extra) -> (N, gy*t, gx*t, *extra)."""
+    extra = a.shape[3:]
+    a = a.reshape(n, gy, gx, t, t, *extra)
+    a = jnp.moveaxis(a, 2, 3)
+    return a.reshape(n, gy * t, gx * t, *extra)
+
+
+def _fused_warp_tiled_eval(big, iy, ix, wy, wx, window: int = _WINDOW,
+                           tile: int = _TILE):
+    """Tile-local MXU evaluation of the fused warp for a BATCH of samples.
+
+    The per-pixel (4,4,C) neighborhood gather retires ~18M indices/s on
+    v5e (gather-issue-rate bound, RESULTS.md round 4) — 20 ms of the 21 ms
+    device-augmentation batch.  The warp coordinates are smooth (affine +
+    blurred elastic), so a 16x16 tile of OUTPUT pixels reads from a small
+    contiguous source window: this path dynamic-slices ONE
+    (window, window, C) block per tile (256x fewer gather indices) and
+    evaluates all 16 cubic taps as dense one-hot row/column-selector
+    contractions that ride the MXU:
+
+        T1[p, x, c]  = sum_r rowsel[p, r] * win[r, x, c]   (one matmul/tile)
+        out[p, c]    = sum_x colsel[p, x] * T1[p, x, c]
+
+    rowsel[p, r] = sum_a wy[p, a] * [r == ry[p] + a] places each pixel's 4
+    y-tap weights on its window rows (likewise colsel on x).  Same taps,
+    same weights as the gather path — only the 16-term summation order
+    differs (float32 reorder tolerance; a label flip requires a class score
+    within ~1e-6 of the 0.5 threshold).
+
+    Returns (out, ok): ok is False when some tile's source spread exceeds
+    the static window (possible only in the far tail of the elastic
+    distribution — the policy-bounded affine spread of a 16-tile is
+    <=1.77*15+1 rows) so callers can lax.cond to the exact gather path.
+    """
+    n, oh, ow = iy.shape
+    gy, gx = oh // tile, ow // tile
+    hb, wb, c = big.shape[1], big.shape[2], big.shape[3]
+
+    ty = _tilize(iy, n, gy, gx, tile)                    # (n, G, P)
+    tx = _tilize(ix, n, gy, gx, tile)
+    twy = _tilize(wy, n, gy, gx, tile)                   # (n, G, P, 4)
+    twx = _tilize(wx, n, gy, gx, tile)
+    by = jnp.minimum(ty.min(axis=2), hb - window)        # (n, G)
+    bx = jnp.minimum(tx.min(axis=2), wb - window)
+    ry = ty - by[..., None]                              # (n, G, P) >= 0
+    rx = tx - bx[..., None]
+    ok = jnp.logical_and((ry <= window - 4).all(), (rx <= window - 4).all())
+
+    def slice_tiles(b, bys, bxs):
+        return jax.vmap(lambda y0, x0: jax.lax.dynamic_slice(
+            b, (y0, x0, 0), (window, window, c)))(bys, bxs)
+
+    win = jax.vmap(slice_tiles)(big, by, bx)             # (n, G, win, win, C)
+
+    rr = jnp.arange(window, dtype=ry.dtype)
+    dy = rr[None, None, None, :] - ry[..., None]         # (n, G, P, win)
+    dx = rr[None, None, None, :] - rx[..., None]
+    rowsel = jnp.zeros(dy.shape, jnp.float32)
+    colsel = jnp.zeros(dx.shape, jnp.float32)
+    for a in range(4):
+        rowsel = rowsel + jnp.where(dy == a, twy[..., a, None], 0.0)
+        colsel = colsel + jnp.where(dx == a, twx[..., a, None], 0.0)
+
+    # HIGHEST: the default (bf16-pass) matmul precision costs ~2^-9 relative
+    # error — enough to flip labels near the 0.5 threshold; full f32 keeps
+    # the tiled path inside true float-reorder distance of the gather path.
+    winf = win.reshape(n, gy * gx, window, window * c)
+    t1 = jnp.einsum("ngpr,ngrk->ngpk", rowsel, winf,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    t1 = t1.reshape(n, gy * gx, tile * tile, window, c)
+    out_t = (t1 * colsel[..., None]).sum(axis=3)         # (n, G, P, C)
+    return _untilize(out_t, n, gy, gx, tile), ok
+
+
+def warp_image_and_label_batch(imgs_nhwc, labels_nhw, ys, xs,
+                               num_classes: int):
+    """Batched fused warp with tile-local MXU evaluation + exact fallback.
+
+    Evaluates via :func:`_fused_warp_tiled_eval`; a BATCH-LEVEL ``lax.cond``
+    falls back to the per-pixel gather path when any tile's source spread
+    exceeds the static window, so results are always exact order-3
+    interpolation regardless of how extreme the sampled warp is.  (The cond
+    sits OUTSIDE the per-sample vmap on purpose: a vmapped cond degrades to
+    executing both branches.)
+    """
+    h, w = labels_nhw.shape[1], labels_nhw.shape[2]
+    big = jax.vmap(
+        lambda i, l: _fused_warp_coeffs(i, l, num_classes))(imgs_nhwc,
+                                                            labels_nhw)
+    iy, ix, wy, wx = _fused_warp_prep(ys, xs, h, w)
+
+    oh, ow = ys.shape[1], ys.shape[2]
+    usable = (_tiled_warp_enabled() and oh % _TILE == 0 and ow % _TILE == 0
+              and big.shape[1] >= _WINDOW and big.shape[2] >= _WINDOW)
+    if not usable:
+        out = jax.vmap(_fused_warp_gather_eval)(big, iy, ix, wy, wx)
+    else:
+        out_tiled, ok = _fused_warp_tiled_eval(big, iy, ix, wy, wx)
+        out = jax.lax.cond(
+            ok,
+            lambda: out_tiled,
+            lambda: jax.vmap(_fused_warp_gather_eval)(big, iy, ix, wy, wx),
+        )
+    return _fused_warp_post(out, ys, xs, h, w, imgs_nhwc.shape[-1],
+                            num_classes, imgs_nhwc.dtype, labels_nhw.dtype)
 
 
 def _affine_inverse_matrix(key, policy: AugmentPolicy, h: int, w: int):
@@ -562,12 +724,19 @@ def random_gamma(key, img_hwc, policy: AugmentPolicy):
 
 
 # ------------------------------------------------------------ full pipeline
-def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
-                   pad_hw: Tuple[int, int] = (224, 224),
-                   crop_hw: Tuple[int, int] = (192, 192),
-                   num_classes: int = 4):
-    """Full training augmentation for ONE sample (image HWC float [0,1],
-    label HW int).  Returns (image HWC float, label HW int) at crop_hw."""
+def _needs_geometry(policy: AugmentPolicy) -> bool:
+    return bool(policy.rotate_val > 0 or policy.shift_val != (0.0, 0.0)
+                or policy.scale_val != (1.0, 1.0) or policy.shear_val > 0
+                or policy.rotate_groups or policy.elastic_prob > 0
+                or policy.elastic_prob_v2 > 0)
+
+
+def _augment_pre_warp(key, img_hwc, label_hw, policy: AugmentPolicy,
+                      pad_hw: Tuple[int, int], crop_hw: Tuple[int, int]):
+    """Everything before the geometric warp for ONE sample: pad, flips,
+    intensity stages, and (when the policy has geometry) the fused warp's
+    sample coordinates.  Returns (img at pad_hw, lbl at pad_hw, ya, xa);
+    ya/xa are None when the policy needs no geometry."""
     img = pad_to(img_hwc, pad_hw)
     lbl = pad_to(label_hw, pad_hw)
     h, w = img.shape[0], img.shape[1]
@@ -592,49 +761,81 @@ def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
         out = random_gamma(k_gamma, img, policy)
         img = jnp.where(jax.random.uniform(k_pg, ()) < policy.gamma_prob, out, img)
 
+    if not _needs_geometry(policy):
+        return img, lbl, None, None
+
     # one fused geometric warp: affine(+group rotation) then elastic offsets
-    needs_geometry = (policy.rotate_val > 0 or policy.shift_val != (0.0, 0.0)
-                      or policy.scale_val != (1.0, 1.0) or policy.shear_val > 0
-                      or policy.rotate_groups or policy.elastic_prob > 0
-                      or policy.elastic_prob_v2 > 0)
-    if needs_geometry:
-        # The center crop is COMPOSED into the warp's output grid: gathers
-        # and tap weights are evaluated only at the crop_hw pixels that
-        # survive (26 % fewer at 224^2 -> 192^2), bit-identical to warping
-        # the full grid and cropping after (the random fields/matrices are
-        # generated at pad resolution and sliced, so every sampled
-        # coordinate is unchanged; pinned by tests/test_augment.py).
-        oy = (h - crop_hw[0]) // 2
-        ox = (w - crop_hw[1]) // 2
-        ys, xs = _base_grid(crop_hw[0], crop_hw[1])
-        ys = ys + oy
-        xs = xs + ox
-        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-        mat, trans = _affine_inverse_matrix(k_affine, policy, h, w)
-        yc = ys - cy - trans[0]
-        xc = xs - cx - trans[1]
-        ya = mat[0, 0] * yc + mat[0, 1] * xc + cy
-        xa = mat[1, 0] * yc + mat[1, 1] * xc + cx
-        if policy.elastic_prob > 0:
-            dy, dx = _elastic_field(k_elastic, h, w, policy)
-            do = jax.random.uniform(k_pe, ()) < policy.elastic_prob
-            ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
-            xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
-        if policy.elastic_prob_v2 > 0:
-            dy, dx = _coarse_elastic_field(k_coarse, h, w)
-            do = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
-            ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
-            xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
-        if _fused_warp_enabled():
-            img, lbl = warp_image_and_label(img, lbl, ya, xa, num_classes)
-        else:
-            img = warp_image(img, ya, xa)
-            lbl = warp_label(lbl, ya, xa, num_classes)
-    else:
+    # The center crop is COMPOSED into the warp's output grid: gathers
+    # and tap weights are evaluated only at the crop_hw pixels that
+    # survive (26 % fewer at 224^2 -> 192^2), bit-identical to warping
+    # the full grid and cropping after (the random fields/matrices are
+    # generated at pad resolution and sliced, so every sampled
+    # coordinate is unchanged; pinned by tests/test_augment.py).
+    oy = (h - crop_hw[0]) // 2
+    ox = (w - crop_hw[1]) // 2
+    ys, xs = _base_grid(crop_hw[0], crop_hw[1])
+    ys = ys + oy
+    xs = xs + ox
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    mat, trans = _affine_inverse_matrix(k_affine, policy, h, w)
+    yc = ys - cy - trans[0]
+    xc = xs - cx - trans[1]
+    ya = mat[0, 0] * yc + mat[0, 1] * xc + cy
+    xa = mat[1, 0] * yc + mat[1, 1] * xc + cx
+    if policy.elastic_prob > 0:
+        dy, dx = _elastic_field(k_elastic, h, w, policy)
+        do = jax.random.uniform(k_pe, ()) < policy.elastic_prob
+        ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
+        xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
+    if policy.elastic_prob_v2 > 0:
+        dy, dx = _coarse_elastic_field(k_coarse, h, w)
+        do = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
+        ya = ya + jnp.where(do, center_crop(dy, crop_hw), 0.0)
+        xa = xa + jnp.where(do, center_crop(dx, crop_hw), 0.0)
+    return img, lbl, ya, xa
+
+
+def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
+                   pad_hw: Tuple[int, int] = (224, 224),
+                   crop_hw: Tuple[int, int] = (192, 192),
+                   num_classes: int = 4):
+    """Full training augmentation for ONE sample (image HWC float [0,1],
+    label HW int).  Returns (image HWC float, label HW int) at crop_hw."""
+    img, lbl, ya, xa = _augment_pre_warp(key, img_hwc, label_hw, policy,
+                                         pad_hw, crop_hw)
+    if ya is None:
         img = center_crop(img, crop_hw)
         lbl = center_crop(lbl, crop_hw)
+    elif _fused_warp_enabled():
+        img, lbl = warp_image_and_label(img, lbl, ya, xa, num_classes)
+    else:
+        img = warp_image(img, ya, xa)
+        lbl = warp_label(lbl, ya, xa, num_classes)
 
     img = percentile_normalize(img)
+    return img, lbl.astype(jnp.int32)
+
+
+def augment_batch(keys, images_nhwc, labels_nhw, policy: AugmentPolicy,
+                  pad_hw: Tuple[int, int] = (224, 224),
+                  crop_hw: Tuple[int, int] = (192, 192),
+                  num_classes: int = 4):
+    """Batch augmentation = vmap(augment_sample) with the geometric warp
+    LIFTED OUT of the vmap so it can run the tile-local MXU evaluation with
+    a batch-level exact fallback (warp_image_and_label_batch) — a lax.cond
+    under vmap would execute both branches.  Key schedule, stage math, and
+    outputs match vmap(augment_sample) (warp values to float32 reorder
+    tolerance; pinned in tests/test_augment.py)."""
+    one = lambda k, i, l: _augment_pre_warp(k, i, l, policy, pad_hw, crop_hw)
+    if not (_needs_geometry(policy) and _fused_warp_enabled()
+            and _tiled_warp_enabled()):
+        return jax.vmap(
+            lambda k, i, l: augment_sample(k, i, l, policy, pad_hw, crop_hw,
+                                           num_classes))(keys, images_nhwc,
+                                                         labels_nhw)
+    img, lbl, ya, xa = jax.vmap(one)(keys, images_nhwc, labels_nhw)
+    img, lbl = warp_image_and_label_batch(img, lbl, ya, xa, num_classes)
+    img = jax.vmap(percentile_normalize)(img)
     return img, lbl.astype(jnp.int32)
 
 
@@ -779,9 +980,8 @@ def make_batch_augment(policy_name: str, pad_hw=(224, 224), crop_hw=(192, 192),
     @jax.jit
     def run(key, images, labels):
         keys = jax.random.split(key, images.shape[0])
-        return jax.vmap(
-            lambda k, i, l: augment_sample(k, i, l, policy, pad_hw, crop_hw,
-                                           num_classes))(keys, images, labels)
+        return augment_batch(keys, images, labels, policy, pad_hw, crop_hw,
+                             num_classes)
 
     return run
 
@@ -799,9 +999,8 @@ def _train_batch_body(key, images, labels, policy, pad_hw, crop_hw,
                       num_classes, keep_orig):
     labels = labels.astype(jnp.int32)
     keys = jax.random.split(key, images.shape[0])
-    aug_i, aug_l = jax.vmap(
-        lambda k, i, l: augment_sample(k, i, l, policy, pad_hw, crop_hw,
-                                       num_classes))(keys, images, labels)
+    aug_i, aug_l = augment_batch(keys, images, labels, policy, pad_hw,
+                                 crop_hw, num_classes)
     if not keep_orig:
         return {"image": aug_i, "label": aug_l}
     orig_i, orig_l = jax.vmap(

@@ -349,3 +349,89 @@ def test_fused_warp_matches_separate_warps():
     assert outside.any()
     assert (np.asarray(got_img)[outside] == 0).all()
     assert (np.asarray(got_lbl)[outside] == 0).all()
+
+
+def test_tiled_warp_matches_gather_batch():
+    """warp_image_and_label_batch (tile-local MXU evaluation, the
+    TILED_WARP default) must reproduce the per-pixel-gather fused warp to
+    float32 reorder tolerance with ZERO label flips, on smooth in-policy
+    coordinates (rotation + zoom + shift + bounded jitter)."""
+    imgs, lbls = [], []
+    for s in range(3):
+        i, l = _sample(hw=(64, 64), seed=10 + s)
+        imgs.append(i)
+        lbls.append(l)
+    imgs = jnp.stack(imgs)
+    lbls = jnp.stack(lbls)
+    ys0, xs0 = A._base_grid(48, 48)
+    rng = np.random.RandomState(7)
+    ys_list, xs_list = [], []
+    for s in range(3):
+        th = rng.uniform(-0.4, 0.4)
+        z = rng.uniform(0.85, 1.25)
+        jit_y = rng.uniform(-3, 3, (48, 48)).astype(np.float32)
+        jit_x = rng.uniform(-3, 3, (48, 48)).astype(np.float32)
+        yc, xc = np.asarray(ys0) - 24, np.asarray(xs0) - 24
+        ys_list.append((np.cos(th) * yc - np.sin(th) * xc) / z + 30 + jit_y)
+        xs_list.append((np.sin(th) * yc + np.cos(th) * xc) / z + 30 + jit_x)
+    ys = jnp.asarray(np.stack(ys_list))
+    xs = jnp.asarray(np.stack(xs_list))
+
+    got_i, got_l = A.warp_image_and_label_batch(imgs, lbls, ys, xs, 3)
+    want_i, want_l = jax.vmap(
+        lambda i, l, y, x: A.warp_image_and_label(i, l, y, x, 3))(
+            imgs, lbls, ys, xs)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-4, atol=1e-5)
+    flips = int((np.asarray(got_l) != np.asarray(want_l)).sum())
+    assert flips == 0, f"{flips} label flips between tiled and gather warps"
+    # the tiled path (not the cond fallback) must be the one exercised
+    big = jax.vmap(lambda i, l: A._fused_warp_coeffs(i, l, 3))(imgs, lbls)
+    iy, ix, wy, wx = A._fused_warp_prep(ys, xs, 64, 64)
+    _, ok = A._fused_warp_tiled_eval(big, iy, ix, wy, wx)
+    assert bool(ok)
+
+
+def test_tiled_warp_window_overflow_falls_back_exactly():
+    """Coordinates whose within-tile spread exceeds the static window
+    (per-pixel shuffle — impossible under any shipped policy) must trip the
+    ok flag and route through the exact gather branch of the lax.cond."""
+    imgs = jnp.stack([_sample(hw=(64, 64), seed=s)[0] for s in range(2)])
+    lbls = jnp.stack([_sample(hw=(64, 64), seed=s)[1] for s in range(2)])
+    k = jax.random.PRNGKey(3)
+    ys = jax.random.uniform(k, (2, 48, 48), minval=0.0, maxval=63.0)
+    xs = jax.random.uniform(jax.random.fold_in(k, 1), (2, 48, 48),
+                            minval=0.0, maxval=63.0)
+    big = jax.vmap(lambda i, l: A._fused_warp_coeffs(i, l, 3))(imgs, lbls)
+    iy, ix, wy, wx = A._fused_warp_prep(ys, xs, 64, 64)
+    _, ok = A._fused_warp_tiled_eval(big, iy, ix, wy, wx)
+    assert not bool(ok)
+    got_i, got_l = A.warp_image_and_label_batch(imgs, lbls, ys, xs, 3)
+    want_i, want_l = jax.vmap(
+        lambda i, l, y, x: A.warp_image_and_label(i, l, y, x, 3))(
+            imgs, lbls, ys, xs)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-4, atol=1e-5)
+    assert int((np.asarray(got_l) != np.asarray(want_l)).sum()) == 0
+
+
+def test_augment_batch_matches_vmapped_augment_sample():
+    """The batched pipeline (warp lifted out of the vmap for the tiled
+    evaluation) must reproduce vmap(augment_sample) — same key schedule,
+    float32 reorder tolerance on the image, zero label flips — across
+    seeds of the full ACDC policy."""
+    policy = A.get_policy("ACDC_affine_elastic_intensity")
+    imgs = jnp.stack([_sample(hw=(56, 56), seed=s)[0] for s in range(3)])
+    lbls = jnp.stack([_sample(hw=(56, 56), seed=s)[1] for s in range(3)])
+    pad_hw, crop_hw = (64, 64), (48, 48)
+    for seed in range(4):
+        keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+        want_i, want_l = jax.vmap(
+            lambda k, i, l: A.augment_sample(k, i, l, policy, pad_hw,
+                                             crop_hw, 4))(keys, imgs, lbls)
+        got_i, got_l = A.augment_batch(keys, imgs, lbls, policy, pad_hw,
+                                       crop_hw, 4)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   rtol=1e-4, atol=1e-5)
+        flips = int((np.asarray(got_l) != np.asarray(want_l)).sum())
+        assert flips == 0, f"seed {seed}: {flips} label flips"
