@@ -731,12 +731,27 @@ def _needs_geometry(policy: AugmentPolicy) -> bool:
                 or policy.elastic_prob_v2 > 0)
 
 
+def _seq_warp_enabled() -> bool:
+    """Deviation-A/B arm (PARITY.md deviation ledger): SEQ_WARP=1 resamples
+    the geometry SEQUENTIALLY like the reference — one order-3 resample for
+    the affine/group-rotation, then a second for the elastic field
+    (elastic_transform.py:16-101 applied after the torchsample affine) —
+    instead of the shipped single composed resample.  Quality experiment
+    only (two gathers; accumulates the reference's interpolation blur)."""
+    return os.environ.get("SEQ_WARP", "0") == "1"
+
+
 def _augment_pre_warp(key, img_hwc, label_hw, policy: AugmentPolicy,
-                      pad_hw: Tuple[int, int], crop_hw: Tuple[int, int]):
+                      pad_hw: Tuple[int, int], crop_hw: Tuple[int, int],
+                      raw_geometry: bool = False):
     """Everything before the geometric warp for ONE sample: pad, flips,
     intensity stages, and (when the policy has geometry) the fused warp's
     sample coordinates.  Returns (img at pad_hw, lbl at pad_hw, ya, xa);
-    ya/xa are None when the policy needs no geometry."""
+    ya/xa are None when the policy needs no geometry.
+
+    ``raw_geometry=True`` (SEQ_WARP arm) returns the UNCOMPOSED pieces
+    instead: (img, lbl, (mat, trans, dy_full, dx_full)) with the gated
+    elastic displacement at pad resolution — same key draws, same fields."""
     img = pad_to(img_hwc, pad_hw)
     lbl = pad_to(label_hw, pad_hw)
     h, w = img.shape[0], img.shape[1]
@@ -762,7 +777,24 @@ def _augment_pre_warp(key, img_hwc, label_hw, policy: AugmentPolicy,
         img = jnp.where(jax.random.uniform(k_pg, ()) < policy.gamma_prob, out, img)
 
     if not _needs_geometry(policy):
-        return img, lbl, None, None
+        return (img, lbl, None) if raw_geometry else (img, lbl, None, None)
+
+    if raw_geometry:
+        h_, w_ = img.shape[0], img.shape[1]
+        mat, trans = _affine_inverse_matrix(k_affine, policy, h_, w_)
+        dy_full = jnp.zeros((h_, w_), jnp.float32)
+        dx_full = jnp.zeros((h_, w_), jnp.float32)
+        if policy.elastic_prob > 0:
+            dy, dx = _elastic_field(k_elastic, h_, w_, policy)
+            do = jax.random.uniform(k_pe, ()) < policy.elastic_prob
+            dy_full = dy_full + jnp.where(do, dy, 0.0)
+            dx_full = dx_full + jnp.where(do, dx, 0.0)
+        if policy.elastic_prob_v2 > 0:
+            dy, dx = _coarse_elastic_field(k_coarse, h_, w_)
+            do = jax.random.uniform(k_pe2, ()) < policy.elastic_prob_v2
+            dy_full = dy_full + jnp.where(do, dy, 0.0)
+            dx_full = dx_full + jnp.where(do, dx, 0.0)
+        return img, lbl, (mat, trans, dy_full, dx_full)
 
     # one fused geometric warp: affine(+group rotation) then elastic offsets
     # The center crop is COMPOSED into the warp's output grid: gathers
@@ -801,6 +833,30 @@ def augment_sample(key, img_hwc, label_hw, policy: AugmentPolicy,
                    num_classes: int = 4):
     """Full training augmentation for ONE sample (image HWC float [0,1],
     label HW int).  Returns (image HWC float, label HW int) at crop_hw."""
+    if _seq_warp_enabled() and _needs_geometry(policy):
+        # deviation-A/B arm: the reference's SEQUENTIAL resampling — affine
+        # resample at pad resolution, THEN elastic resample composed with
+        # the crop (same key draws as the shipped single-composition path)
+        img, lbl, geom = _augment_pre_warp(key, img_hwc, label_hw, policy,
+                                           pad_hw, crop_hw,
+                                           raw_geometry=True)
+        mat, trans, dy_full, dx_full = geom
+        h, w = img.shape[0], img.shape[1]
+        ys0, xs0 = _base_grid(h, w)
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        yc = ys0 - cy - trans[0]
+        xc = xs0 - cx - trans[1]
+        ya1 = mat[0, 0] * yc + mat[0, 1] * xc + cy
+        xa1 = mat[1, 0] * yc + mat[1, 1] * xc + cx
+        img, lbl = warp_image_and_label(img, lbl, ya1, xa1, num_classes)
+        oy = (h - crop_hw[0]) // 2
+        ox = (w - crop_hw[1]) // 2
+        ys2, xs2 = _base_grid(crop_hw[0], crop_hw[1])
+        ys2 = ys2 + oy + center_crop(dy_full, crop_hw)
+        xs2 = xs2 + ox + center_crop(dx_full, crop_hw)
+        img, lbl = warp_image_and_label(img, lbl, ys2, xs2, num_classes)
+        img = percentile_normalize(img)
+        return img, lbl.astype(jnp.int32)
     img, lbl, ya, xa = _augment_pre_warp(key, img_hwc, label_hw, policy,
                                          pad_hw, crop_hw)
     if ya is None:
@@ -827,8 +883,9 @@ def augment_batch(keys, images_nhwc, labels_nhw, policy: AugmentPolicy,
     outputs match vmap(augment_sample) (warp values to float32 reorder
     tolerance; pinned in tests/test_augment.py)."""
     one = lambda k, i, l: _augment_pre_warp(k, i, l, policy, pad_hw, crop_hw)
-    if not (_needs_geometry(policy) and _fused_warp_enabled()
-            and _tiled_warp_enabled()):
+    if _seq_warp_enabled() or not (_needs_geometry(policy)
+                                   and _fused_warp_enabled()
+                                   and _tiled_warp_enabled()):
         return jax.vmap(
             lambda k, i, l: augment_sample(k, i, l, policy, pad_hw, crop_hw,
                                            num_classes))(keys, images_nhwc,

@@ -174,7 +174,8 @@ def dropout_mask(code, rng, p: float = 0.5):
 
 
 def perturb_latent_code(code, decoder_fn: Callable, target, rng,
-                        settings: MaskSettings, num_classes: int = 4):
+                        settings: MaskSettings, num_classes: int = 4,
+                        return_branch: bool = False):
     """Latent-code perturbation dispatcher
     (advanced_triplet_recon_segmentation_model.perturb_latent_code:300-350).
 
@@ -188,6 +189,14 @@ def perturb_latent_code(code, decoder_fn: Callable, target, rng,
     ``(masked_code, mask)`` like the reference (mask broadcast to the code
     shape); both are stop-gradiented (`if_detach=True` semantics at
     advanced...py:501,515).
+
+    ``return_branch=True`` additionally returns the executed branch index
+    (int32 scalar: 0=dropout, 1=spatial, 2=channel; the static branches
+    report their fixed index) — the saliency-BN-update deviation arm
+    (SALIENCY_BN_UPDATE=1, train/cooperative.py) needs it because the
+    reference's SALIENCY forward tracks BN running stats
+    (model_util.py:214-218 runs the raw train-mode decoder) and only the
+    saliency branches (spatial/channel) run that forward.
     """
     k_branch, k_op = jax.random.split(rng)
     thr = settings.max_threshold
@@ -215,14 +224,18 @@ def perturb_latent_code(code, decoder_fn: Callable, target, rng,
 
     if settings.mask_type == "dropout":
         masked, mask = do_dropout(k_op)
+        branch = jnp.int32(0)
     elif settings.mask_type == "spatial":
         masked, mask = do_spatial(k_op)
+        branch = jnp.int32(1)
     elif settings.mask_type == "channel":
         masked, mask = do_channel(k_op)
+        branch = jnp.int32(2)
     elif settings.mask_type == "random":
         branch = jax.random.randint(k_branch, (), 0, 3)
         masked, mask = jax.lax.switch(
             branch, [do_dropout, do_spatial, do_channel], k_op)
     else:
         raise NotImplementedError(settings.mask_type)
-    return jax.lax.stop_gradient(masked), jax.lax.stop_gradient(mask)
+    out = (jax.lax.stop_gradient(masked), jax.lax.stop_gradient(mask))
+    return out + (branch,) if return_branch else out

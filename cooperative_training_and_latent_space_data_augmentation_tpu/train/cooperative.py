@@ -355,26 +355,71 @@ class CooperativeTripletSolver:
 
         return fn
 
+    def _merge_saliency_stats(self, name: str, params, stats, code, branch,
+                              rngs=None):
+        """Reference-parity BN-stat update from ONE saliency forward.
+
+        The torch reference's saliency pass (model_util.py:214-218) runs the
+        RAW train-mode decoder on the unmasked code, so its BatchNorms
+        UPDATE running stats; only the final decode freezes tracking
+        (advanced...py:503-504,518-519 ``disable_track_bn_stats=True``).
+        The rebuild freezes BOTH by default (the documented deviation,
+        PARITY.md deviation ledger); SALIENCY_BN_UPDATE=1 restores the
+        reference semantics for the A/B.  ``branch`` gates the merge: the
+        dropout branch (0) draws no saliency forward."""
+        out, ups = self.modules[name].apply(
+            {"params": jax.lax.stop_gradient(params[name]),
+             "batch_stats": stats[name]},
+            code, train=True, mutable=["batch_stats"],
+            rngs=_resolve_rngs(rngs, name))
+        del out
+        did = branch != 0
+        merged = jax.tree.map(lambda old, new: jnp.where(did, new, old),
+                              stats[name], ups["batch_stats"])
+        new = dict(stats)
+        new[name] = merged
+        return new
+
     def hard_example_generation(self, params, stats, z_i, z_s, clean_image, label,
-                                rng, latent_da: LatentDAConfig, rngs=None):
+                                rng, latent_da: LatentDAConfig, rngs=None,
+                                return_stats: bool = False):
         """Perturb cached latents -> (perturbed_image, perturbed_seg)
-        (advanced...py:469-523).  Outputs are stop-gradiented constants."""
+        (advanced...py:469-523).  Outputs are stop-gradiented constants.
+
+        ``return_stats=True`` additionally returns the (possibly updated)
+        batch_stats: under SALIENCY_BN_UPDATE=1 the saliency forwards
+        track running stats like the reference's raw train-mode decoder
+        (see :meth:`_merge_saliency_stats`); otherwise stats pass through."""
+        saliency_update = os.environ.get("SALIENCY_BN_UPDATE", "0") == "1"
         k_img, k_seg = jax.random.split(rng)
         perturbed_image = None
         perturbed_seg = None
+        new_stats = stats
         if latent_da.gen_corrupted_image:
             dec = self._frozen_decoder_fn("image_decoder", params, stats, rngs=rngs)
-            masked_zi, _ = masking.perturb_latent_code(
+            masked_zi, _, br = masking.perturb_latent_code(
                 jax.lax.stop_gradient(z_i), dec, clean_image, k_img,
-                _mask_settings(latent_da.image_code), num_classes=self.num_classes)
+                _mask_settings(latent_da.image_code),
+                num_classes=self.num_classes, return_branch=True)
             perturbed_image = jax.lax.stop_gradient(dec(masked_zi))
+            if saliency_update:
+                new_stats = self._merge_saliency_stats(
+                    "image_decoder", params, new_stats,
+                    jax.lax.stop_gradient(z_i), br, rngs=rngs)
         if latent_da.gen_corrupted_seg:
             dec = self._frozen_decoder_fn("segmentation_decoder", params, stats,
                                           rngs=rngs)
-            masked_zs, _ = masking.perturb_latent_code(
+            masked_zs, _, br = masking.perturb_latent_code(
                 jax.lax.stop_gradient(z_s), dec, label, k_seg,
-                _mask_settings(latent_da.shape_code), num_classes=self.num_classes)
+                _mask_settings(latent_da.shape_code),
+                num_classes=self.num_classes, return_branch=True)
             perturbed_seg = jax.lax.stop_gradient(dec(masked_zs))
+            if saliency_update:
+                new_stats = self._merge_saliency_stats(
+                    "segmentation_decoder", params, new_stats,
+                    jax.lax.stop_gradient(z_s), br, rngs=rngs)
+        if return_stats:
+            return perturbed_image, perturbed_seg, new_stats
         return perturbed_image, perturbed_seg
 
     def hard_example_training(self, params, stats, perturbed_image, clean_image,
@@ -584,10 +629,11 @@ class CooperativeTripletSolver:
                     "loss/standard/gt_shape": std["gt_shape"],
                 }
                 if use_latent_da:
-                    perturbed_image, perturbed_seg = self.hard_example_generation(
-                        params, stats, z_i, z_s,
-                        jax.lax.stop_gradient(clean_image), label, k_da, latent_da,
-                        rngs=rngs)
+                    perturbed_image, perturbed_seg, stats = \
+                        self.hard_example_generation(
+                            params, stats, z_i, z_s,
+                            jax.lax.stop_gradient(clean_image), label, k_da,
+                            latent_da, rngs=rngs, return_stats=True)
                     hard = self.hard_example_training(
                         params, stats, perturbed_image, clean_image, perturbed_seg,
                         label, separate_training=separate_training, rngs=rngs)
@@ -632,10 +678,11 @@ class CooperativeTripletSolver:
                 perturbed_image = perturbed_seg = None
                 hard_seg = hard_image = jnp.zeros(())
                 if use_latent_da:
-                    perturbed_image, perturbed_seg = self.hard_example_generation(
-                        params, stats, z_i, z_s,
-                        jax.lax.stop_gradient(clean_image), label, k_da,
-                        latent_da)
+                    perturbed_image, perturbed_seg, stats = \
+                        self.hard_example_generation(
+                            params, stats, z_i, z_s,
+                            jax.lax.stop_gradient(clean_image), label, k_da,
+                            latent_da, return_stats=True)
                 if perturbed_image is not None:
                     (zi_h, _), y0_h, _ = self.fast_predict(
                         params, stats, jax.lax.stop_gradient(perturbed_image),
@@ -712,11 +759,12 @@ class CooperativeTripletSolver:
                 # --- value-only pre-pass feeding generation
                 (z_i0, z_s0), _ = self.encode_image(
                     params, stats0, noised_image, train=True, update=False)
-                perturbed_image, perturbed_seg = self.hard_example_generation(
-                    params, stats0, jax.lax.stop_gradient(z_i0),
-                    jax.lax.stop_gradient(z_s0),
-                    jax.lax.stop_gradient(clean_image), label, k_da,
-                    latent_da)
+                perturbed_image, perturbed_seg, stats0 = \
+                    self.hard_example_generation(
+                        params, stats0, jax.lax.stop_gradient(z_i0),
+                        jax.lax.stop_gradient(z_s0),
+                        jax.lax.stop_gradient(clean_image), label, k_da,
+                        latent_da, return_stats=True)
 
                 # --- standard + hard FTN as one 2N pass (per-half BN stats)
                 images = jnp.stack([noised_image,

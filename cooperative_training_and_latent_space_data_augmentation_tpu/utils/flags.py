@@ -88,6 +88,22 @@ REGISTRY: Tuple[Flag, ...] = (
          "1.413 -> 1.222 s (b80) — RESULTS.md round 5, "
          "saved/epoch_timing_r5/",
          "ops/augment.py:_tiled_warp_enabled"),
+    Flag("SEQ_WARP", "0", "bool01",
+         "single composed order-3 geometric resample (the shipped "
+         "quality-favoring deviation); '1' = the reference's SEQUENTIAL "
+         "affine-then-elastic double resample (deviation-A/B arm)",
+         "deviation-ledger A/B r5 (PARITY.md) — measurement PENDING: "
+         "equal-seed e300 quality comparison (the sequential arm "
+         "accumulates interpolation blur)",
+         "ops/augment.py:_seq_warp_enabled"),
+    Flag("SALIENCY_BN_UPDATE", "0", "bool01",
+         "saliency forwards leave BN running stats untouched (the shipped "
+         "deviation); '1' = reference semantics, the raw train-mode "
+         "saliency decoder forward updates running stats "
+         "(model_util.py:214-218)",
+         "deviation-ledger A/B r5 (PARITY.md) — measurement PENDING: "
+         "equal-seed e300 quality comparison",
+         "train/cooperative.py:hard_example_generation"),
     Flag("FUSED_STN", "0", "bool01",
          "sequential STN passes (fused 4-pass STN batching OFF)",
          "measured WASH: 86.2 sequential vs 86.6 fused ms/step (bench.py "
@@ -96,8 +112,11 @@ REGISTRY: Tuple[Flag, ...] = (
     Flag("FUSED_FTN", "0", "bool01",
          "sequential standard + hard FTN passes (2N-batched FTN with "
          "value-only generation pre-pass OFF)",
-         "MEASUREMENT PENDING (r5, bench.py A/B); pinned-exact vs the "
-         "sequential path in tests/test_cooperative.py",
+         "measured NEGATIVE r5: 88.7 vs 86.1 ms/step end-to-end (bench.py "
+         "A/B, calib 193/192 TFLOP/s in-band) — batching does not lift the "
+         "channel-bound MXU-fill wall and the value-only pre-pass is pure "
+         "overhead; exact-equivalence pinned in tests/test_cooperative.py; "
+         "RESULTS.md round 5",
          "train/cooperative.py:make_train_step(fused_ftn=None)"),
     Flag("FUSED_EPOCH", "", "str",
          "auto: whole-epoch fused scan ON when backend is TPU and the "

@@ -435,3 +435,51 @@ def test_augment_batch_matches_vmapped_augment_sample():
                                    rtol=1e-4, atol=1e-5)
         flips = int((np.asarray(got_l) != np.asarray(want_l)).sum())
         assert flips == 0, f"seed {seed}: {flips} label flips"
+
+
+def test_seq_warp_matches_composed_when_no_elastic(monkeypatch):
+    """Deviation-A/B arm (SEQ_WARP=1, PARITY.md deviation ledger): with a
+    pure-affine policy the second (elastic) resample is an exact identity
+    (order-3 interpolation reproduces grid values), so sequential ==
+    composed up to float reorder — the two formulations genuinely differ
+    ONLY when an elastic field fires."""
+    img, lbl = _sample()
+    pol = A.get_policy("ACDC_affine")
+    key = jax.random.PRNGKey(3)
+    monkeypatch.delenv("SEQ_WARP", raising=False)
+    i0, l0 = A.augment_sample(key, img, lbl, pol)
+    monkeypatch.setenv("SEQ_WARP", "1")
+    i1, l1 = A.augment_sample(key, img, lbl, pol)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                               rtol=1e-4, atol=2e-5)
+    flips = float(np.mean(np.asarray(l1) != np.asarray(l0)))
+    assert flips < 2e-3, flips  # boundary ties under float reorder only
+
+
+def test_seq_warp_elastic_differs_but_close(monkeypatch):
+    """With elastic ON the sequential arm resamples twice (the reference's
+    accumulated interpolation) — same random fields (same key draws), so
+    outputs are CLOSE but not identical to the composed warp."""
+    img, lbl = _sample()
+    pol = A.get_policy("ACDC_affine_elastic")
+    # pick a key whose elastic gate fires
+    key = None
+    for s in range(8):
+        k = jax.random.PRNGKey(s)
+        ks = jax.random.split(k, 14)
+        if float(jax.random.uniform(ks[12], ())) < pol.elastic_prob:
+            key = k
+            break
+    assert key is not None
+    monkeypatch.delenv("SEQ_WARP", raising=False)
+    i0, l0 = A.augment_sample(key, img, lbl, pol)
+    monkeypatch.setenv("SEQ_WARP", "1")
+    i1, l1 = A.augment_sample(key, img, lbl, pol)
+    assert i1.shape == i0.shape and l1.shape == l0.shape
+    d = float(np.mean(np.abs(np.asarray(i1) - np.asarray(i0))))
+    assert 0 < d < 0.2, d  # different composition, same distribution
+    # batch path falls back to vmap(augment_sample) under SEQ_WARP
+    ib, lb = A.augment_batch(key[None].repeat(2, 0), jnp.stack([img, img]),
+                             jnp.stack([lbl, lbl]), pol)
+    np.testing.assert_allclose(np.asarray(ib[0]), np.asarray(i1),
+                               rtol=1e-5, atol=1e-6)

@@ -441,3 +441,54 @@ def test_fused_ftn_gates():
     st, m = step(state0, _batch(n=2), jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss/total"]))
     assert float(m["loss/hard/seg"]) == 0.0  # no image pass -> seg loss zero
+
+
+@pytest.mark.parametrize("mask_type,expect_update", [("channel", True),
+                                                     ("dropout", False)])
+def test_saliency_bn_update_arm(mask_type, expect_update, monkeypatch):
+    """Deviation-A/B arm (SALIENCY_BN_UPDATE=1, PARITY.md deviation
+    ledger): the reference's saliency forward runs the raw train-mode
+    decoder (model_util.py:214-218), so BN running stats absorb one extra
+    update per mask op — but ONLY on the saliency branches
+    (spatial/channel); the dropout branch draws no forward.  With the flag
+    on, the image decoder's running stats must (channel) / must not
+    (dropout) move relative to the shipped frozen-saliency semantics, and
+    nothing else may change (train-mode values normalize by batch stats)."""
+    import optax
+    from cooperative_training_and_latent_space_data_augmentation_tpu.config import (
+        MaskConfig,
+    )
+
+    latent_da = LatentDAConfig(
+        mask_scope=("image code",),
+        image_code=MaskConfig(loss_name="mse", mask_type=mask_type))
+    solver = CooperativeTripletSolver(num_classes=4, image_ch=1,
+                                      input_hw=(32, 32))
+    solver.tx = optax.sgd(1.0)
+    state0 = solver.init_state(jax.random.PRNGKey(3))
+    batch = _batch(n=2, seed=5)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SALIENCY_BN_UPDATE", flag)
+        step = solver.make_train_step(latent_da=latent_da, donate=False)
+        st, m = step(state0, batch, jax.random.PRNGKey(9))
+        outs[flag] = (st, m)
+    st0, m0 = outs["0"]
+    st1, m1 = outs["1"]
+    # losses are batch-stat normalized -> flag cannot change them
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    dec0 = jax.tree.leaves(st0.batch_stats["image_decoder"])
+    dec1 = jax.tree.leaves(st1.batch_stats["image_decoder"])
+    moved = any(float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) > 1e-7
+                for a, b in zip(dec0, dec1))
+    assert moved == expect_update
+    # every OTHER module's stats are untouched by the flag
+    for name in st0.batch_stats:
+        if name == "image_decoder":
+            continue
+        for a, b in zip(jax.tree.leaves(st0.batch_stats[name]),
+                        jax.tree.leaves(st1.batch_stats[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
