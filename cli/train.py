@@ -66,6 +66,9 @@ def parse_args():
     p.add_argument("--no_orbax", action="store_true",
                    help="skip the orbax train-state checkpoint at periodic "
                         "saves (msgpack/pkl reference formats still written)")
+    p.add_argument("--root_dir", type=str, default=None,
+                   help="override config data.root_dir (turnkey real-data "
+                        "runs without editing the JSON; RUNBOOK.md)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic phantom dataset (CPU-runnable smoke)")
     p.add_argument("--synthetic_train_length", type=int, default=20,
@@ -98,13 +101,29 @@ def build_datasets(cfg: ExperimentConfig, args):
                                   num_classes=cfg.data.num_classes, seed=1)
         return train, val
     sets = {"train": [], "validate": []}
+    # Turnkey naming: the reference's configs say .nii.gz but its own
+    # preprocessor writes .nrrd (acdc_preprocess.py:139-149) — probe the
+    # tree like cli/test.py does when the configured pattern matches nothing
+    # (RUNBOOK.md; caught by the round-5 dry-run on /tmp/synthetic_ACDC).
+    import glob as _glob
+
+    img_fmt, lbl_fmt = cfg.data.image_format_name, cfg.data.label_format_name
+    if not _glob.glob(os.path.join(
+            cfg.data.root_dir,
+            img_fmt.format(p_id="*", frame=cfg.data.frame[0]))):
+        from cooperative_training_and_latent_space_data_augmentation_tpu.data.acdc import (
+            probe_format_names,
+        )
+
+        img_fmt, lbl_fmt = probe_format_names(cfg.data.root_dir,
+                                              frame=cfg.data.frame[0])
     for split in sets:
         for frame in cfg.data.frame:
             sets[split].append(CardiacACDCDataset(
                 root_dir=cfg.data.root_dir, frame=frame, split=split,
                 data_setting=args.data_setting, cval=args.cval,
-                image_format_name=cfg.data.image_format_name,
-                label_format_name=cfg.data.label_format_name,
+                image_format_name=img_fmt,
+                label_format_name=lbl_fmt,
                 pad_size=cfg.data.pad_hw, num_classes=cfg.data.num_classes,
                 myocardium_only=cfg.data.myocardium_only,
                 right_ventricle_only=cfg.data.right_ventricle_only,
@@ -119,6 +138,8 @@ def main():
            if args.json_config_path else ExperimentConfig())
     config_name = (os.path.splitext(os.path.basename(args.json_config_path))[0]
                    if args.json_config_path else "default")
+    if args.root_dir is not None:
+        cfg.data.root_dir = args.root_dir
     if args.batch_size is not None:
         cfg.learning.batch_size = args.batch_size
     if args.lr is not None:
