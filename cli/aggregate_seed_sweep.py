@@ -41,12 +41,19 @@ def best_val_iou(run_dir):
 
 def dice_row(eval_dir):
     p = join(eval_dir, "ACDC", "summary.csv")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        rows = list(csv.reader(f))
-    head, mean = rows[0], [float(x) for x in rows[1]]
-    d = dict(zip(head, mean))
+    if os.path.exists(p):
+        with open(p) as f:
+            rows = list(csv.reader(f))
+        head, mean = rows[0], [float(x) for x in rows[1]]
+        d = dict(zip(head, mean))
+    else:
+        # torch runs: cli/train_torch_reference.py prints the heldout
+        # summary as JSON; a heldout.json beside epochs.jsonl carries it
+        p = join(eval_dir, "heldout.json")
+        if not os.path.exists(p):
+            return None
+        h = json.load(open(p))
+        d = {k[: -len("_mean")]: v for k, v in h.items() if k.endswith("_mean")}
     lv, myo, rv = d["LV_Dice"], d["MYO_Dice"], d["RV_Dice"]
     return lv, myo, rv, (lv + myo + rv) / 3.0
 
@@ -98,9 +105,56 @@ def main():
 
     print("== torch reference")
     collect([("torch_seed40", join(hh, "torch_seed40_e300"),
-              join(hh, "torch_seed40_e300_eval")),
+              join(hh, "torch_seed40_e300")),
              ("torch_seed41", join(hh, "torch_seed41_e300"),
-              join(hh, "torch_seed41_e300_eval"))])
+              join(hh, "torch_seed41_e300"))])
+
+    print("== robustness across seeds (cooperative - standard, mean Dice)")
+    robustness_stats(join(REPO, "saved", "robustness_seeds_r5"))
+
+
+def robustness_stats(root):
+    """Mean +- std across seed dirs of per-dataset mean Dice and the
+    cooperative-minus-standard delta (the +11.5 pt headline, VERDICT r4
+    missing #3)."""
+    per_seed = {}
+    for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if not name.startswith("eval_seed"):
+            continue
+        p = join(root, name, "aggregated.csv")
+        if not os.path.exists(p):
+            continue
+        rows = list(csv.DictReader(open(p)))
+        d = {}
+        for r in rows:
+            if r["metric"].endswith("_Dice"):
+                d.setdefault((r["dataset"], r["method"]), []).append(
+                    float(r["mean"]))
+        per_seed[name] = {k: float(np.mean(v)) for k, v in d.items()}
+    if not per_seed:
+        print("  [no robustness evals found]")
+        return
+    datasets = sorted({ds for seed in per_seed.values() for ds, _m in seed})
+    corr = [d for d in datasets if d.startswith("Random")]
+    for ds in datasets + ["corrupted_avg"]:
+        deltas, coops, stds = [], [], []
+        for seed_vals in per_seed.values():
+            if ds == "corrupted_avg":
+                c = np.mean([seed_vals[(d, "cooperative_training")] for d in corr])
+                s = np.mean([seed_vals[(d, "standard_training")] for d in corr])
+            else:
+                c = seed_vals.get((ds, "cooperative_training"))
+                s = seed_vals.get((ds, "standard_training"))
+                if c is None or s is None:
+                    continue
+            coops.append(c)
+            stds.append(s)
+            deltas.append(c - s)
+        if deltas:
+            print(f"  {ds}: std {np.mean(stds):.3f}+-{np.std(stds):.3f}  "
+                  f"coop {np.mean(coops):.3f}+-{np.std(coops):.3f}  "
+                  f"delta {np.mean(deltas)*100:+.1f}+-{np.std(deltas)*100:.1f} pt "
+                  f"(n={len(deltas)})")
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from cooperative_training_and_latent_space_data_augmentation_tpu.data.nifti impo
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.splits import (  # noqa: E402
     TEST_LIST,
+    get_ACDC_split_policy,
 )
 from cooperative_training_and_latent_space_data_augmentation_tpu.data.synthetic import (  # noqa: E402
     make_phantom,
@@ -64,14 +65,27 @@ def main() -> None:
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--out_root", type=str, required=True)
     p.add_argument("--pids", nargs="+", default=None,
-                   help="patient ids (default: the 20-patient ACDC test list)")
+                   help="patient ids (default: every id the ACDC split "
+                        "policies reference for data_setting=10, cvals 0-2 — "
+                        "so cli/validate_dataset.py reaches GO on the tree; "
+                        "pass explicit ids, e.g. the test list, to narrow)")
     p.add_argument("--frames", nargs="+", default=["ED", "ES"])
     p.add_argument("--n_slices", type=int, default=10)
     p.add_argument("--hw", nargs=2, type=int, default=[224, 224])
     p.add_argument("--num_classes", type=int, default=4)
     args = p.parse_args()
 
-    pids = args.pids if args.pids else list(TEST_LIST)
+    if args.pids:
+        pids = args.pids
+    else:
+        # every pid any split policy references (patient content is
+        # pid-derived, so regenerating a subset never changes other pids)
+        need = set(TEST_LIST)
+        for cval in (0, 1, 2):
+            for ids in get_ACDC_split_policy("10", cval).values():
+                if isinstance(ids, (list, tuple)):
+                    need.update(ids)
+        pids = sorted(need)
     for pid in pids:
         for frame in args.frames:
             write_patient(args.out_root, pid, frame, args.n_slices, args.hw,
