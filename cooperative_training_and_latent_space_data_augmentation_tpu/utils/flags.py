@@ -92,17 +92,18 @@ REGISTRY: Tuple[Flag, ...] = (
          "single composed order-3 geometric resample (the shipped "
          "quality-favoring deviation); '1' = the reference's SEQUENTIAL "
          "affine-then-elastic double resample (deviation-A/B arm)",
-         "deviation-ledger A/B r5 (PARITY.md) — measurement PENDING: "
-         "equal-seed e300 quality comparison (the sequential arm "
-         "accumulates interpolation blur)",
+         "measured A/B r5 (PARITY.md D1): reference arm +1.8 held-out "
+         "Dice on the equal-seed pair — inside the measured inter-seed "
+         "band (sigma~2.2 pt); composed stays default for its 3.0x warp "
+         "speed",
          "ops/augment.py:_seq_warp_enabled"),
     Flag("SALIENCY_BN_UPDATE", "0", "bool01",
          "saliency forwards leave BN running stats untouched (the shipped "
          "deviation); '1' = reference semantics, the raw train-mode "
          "saliency decoder forward updates running stats "
          "(model_util.py:214-218)",
-         "deviation-ledger A/B r5 (PARITY.md) — measurement PENDING: "
-         "equal-seed e300 quality comparison",
+         "measured A/B r5 (PARITY.md D2): quality-neutral (+0.001 Dice / "
+         "+0.001 val IoU equal-seed e300)",
          "train/cooperative.py:hard_example_generation"),
     Flag("FUSED_STN", "0", "bool01",
          "sequential STN passes (fused 4-pass STN batching OFF)",
@@ -131,8 +132,12 @@ REGISTRY: Tuple[Flag, ...] = (
          "train/driver.py:214"),
     Flag("MULTI_EPOCH", "0", "int",
          "one fused dispatch per epoch (no K-epoch window)",
-         "measured WASH: 1.74 vs 1.77 s/epoch at MULTI_EPOCH=8 — the epoch "
-         "is compute-bound, not dispatch-bound (RESULTS.md r4)",
+         "measured WASH at the bench protocol: 1.74 vs 1.77 s/epoch at "
+         "MULTI_EPOCH=8 (RESULTS.md r4).  Operational note r5: when the "
+         "per-epoch sync IS expensive (host-contended tunnel) the window "
+         "is a big win — the r5 seed sweep ran ~12 s/epoch serial vs "
+         "~1.4 s/epoch at MULTI_EPOCH=30 (window==serial pinned per "
+         "entry run)",
          "train/driver.py:238"),
     Flag("FULL_SHAPE_SHARDING", "0", "bool01",
          "192^2 8-device sharded-vs-single equivalence test SKIPPED in "
