@@ -92,10 +92,10 @@ REGISTRY: Tuple[Flag, ...] = (
          "single composed order-3 geometric resample (the shipped "
          "quality-favoring deviation); '1' = the reference's SEQUENTIAL "
          "affine-then-elastic double resample (deviation-A/B arm)",
-         "measured A/B r5 (PARITY.md D1): reference arm +1.8 held-out "
-         "Dice on the equal-seed pair — inside the measured inter-seed "
-         "band (sigma~2.2 pt); composed stays default for its 3.0x warp "
-         "speed",
+         "measured A/B r5 (PARITY.md D1): three equal-seed pairs, paired "
+         "delta (reference - composed) = -0.3 +- 1.7 held-out Dice — "
+         "composed is neutral-to-slightly-better AND 3.0x faster, stays "
+         "default",
          "ops/augment.py:_seq_warp_enabled"),
     Flag("SALIENCY_BN_UPDATE", "0", "bool01",
          "saliency forwards leave BN running stats untouched (the shipped "
